@@ -1,0 +1,157 @@
+"""Building-block layers for 3D conv backbones (flax.linen, channels-last).
+
+TPU-first design notes
+----------------------
+* Layout is NDHWC everywhere: the channel axis lands on the 128-wide lane
+  dimension, so pointwise (1x1x1) convs compile to plain MXU matmuls and
+  depthwise convs vectorize on the VPU. (The reference is NCDHW torch/cuDNN;
+  lesions3d/mobilenet.py:26-49.)
+* Depthwise separable conv uses ``feature_group_count`` — XLA lowers this to
+  a fused depthwise op; the pointwise half is a (D*H*W, C_in) x (C_in, C_out)
+  matmul that dominates FLOPs and maps directly onto the MXU.
+* Compute dtype is configurable (bf16 for TPU speed-of-light); BatchNorm
+  statistics stay fp32. Under jit-with-shardings the batch statistics are
+  global-batch statistics automatically (XLA inserts the collectives), which
+  gives synchronized BN across data-parallel shards for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _triple(v) -> tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    return tuple(v)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv3d(k3, stride, p1, no bias) + BatchNorm + ReLU.
+
+    Parity: reference ``conv_bn`` (lesions3d/mobilenet.py:26-31).
+    """
+
+    features: int
+    strides: Sequence[int] | int = 1
+    kernel_size: Sequence[int] | int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=_triple(self.kernel_size),
+            strides=_triple(self.strides),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class DepthwiseSeparableBlock(nn.Module):
+    """Depthwise 3x3x3 conv + BN + ReLU, then pointwise 1x1x1 conv + BN + ReLU.
+
+    Parity: reference ``Block`` (lesions3d/mobilenet.py:34-49). The NaN guard
+    there is a debugging aid, not behavior; numerical health is asserted in
+    tests instead.
+    """
+
+    features: int
+    strides: Sequence[int] | int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_features = x.shape[-1]
+        x = nn.Conv(
+            in_features,
+            kernel_size=(3, 3, 3),
+            strides=_triple(self.strides),
+            padding="SAME",
+            feature_group_count=in_features,  # depthwise
+            use_bias=False,
+            dtype=self.dtype,
+            name="dw_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="dw_bn",
+        )(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Conv(
+            self.features,
+            kernel_size=(1, 1, 1),
+            strides=(1, 1, 1),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="pw_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="pw_bn",
+        )(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class ConvNormActBlock(nn.Module):
+    """Conv3d + InstanceNorm + Dropout + PReLU ("NDA" ordering).
+
+    Parity: the MONAI ``Convolution`` block as configured by the reference
+    convnet backbone (lesions3d/base_network.py:83-92): PReLU init 0.2,
+    dropout 0.1, norm-dropout-activation order.
+    """
+
+    features: int
+    strides: Sequence[int] | int = 1
+    dropout_rate: float = 0.1
+    prelu_init: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3, 3),
+            strides=_triple(self.strides),
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        # Instance norm: per-sample, per-channel normalization over D,H,W.
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+        x = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(self.dtype)
+        x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        alpha = self.param("prelu_alpha", nn.initializers.constant(self.prelu_init), (1,))
+        return jnp.where(x >= 0, x, alpha.astype(self.dtype) * x)
+
+
+def max_pool_3d(x, kernel_size=3, strides=2, padding=1):
+    """MaxPool3d(k3, s2, p1) parity (lesions3d/base_network.py:79-81)."""
+    k = _triple(kernel_size)
+    s = _triple(strides)
+    p = _triple(padding)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, *k, 1),
+        window_strides=(1, *s, 1),
+        padding=((0, 0), *((pi, pi) for pi in p), (0, 0)),
+    )

@@ -1,0 +1,250 @@
+"""Model-level tests: analytic shape inference, prior generation parity with a
+loop-reference, SSD3D forward shapes, and multibox loss vs a numpy mirror."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mslesions3d_tpu.models import (
+    SSD3D,
+    SSD3DConfig,
+    feature_map_infos,
+    generate_priors,
+    model_priors,
+    multibox_loss,
+)
+from mslesions3d_tpu.models.priors import default_scales
+from mslesions3d_tpu.ops.boxes import center_to_corner, corner_to_center, encode_boxes
+from tests.test_matching import reference_match
+
+
+def test_feature_map_infos_mobilenet_64():
+    """Reference-derived shapes for 64^3 (SURVEY.md §3.2 / ssd3d.py:37-45)."""
+    dims, channels = feature_map_infos("mobilenet", (64, 64, 64), (3, 5, 7))
+    assert dims == {0: (32,) * 3, 1: (16,) * 3, 2: (8,) * 3, 3: (8,) * 3,
+                    4: (4,) * 3, 5: (4,) * 3, 6: (2,) * 3, 7: (2,) * 3}
+    assert channels == {0: 32, 1: 64, 2: 128, 3: 128, 4: 256, 5: 256, 6: 512, 7: 512}
+
+
+def test_feature_map_infos_noncube_first_stride():
+    dims, _ = feature_map_infos("mobilenet", (250, 300, 300), (3, 5, 7))
+    # non-cube input uses first stride (1,2,2) (ssd3d.py:60)
+    assert dims[0] == (250, 150, 150)
+
+
+def test_feature_map_infos_convnet():
+    dims, channels = feature_map_infos("convnet_maxpool_double", (64, 64, 64), (6, 9))
+    assert dims[6] == (16, 16, 16) and channels[6] == 128
+    assert dims[9] == (8, 8, 8) and channels[9] == 256
+
+
+def test_prior_count_1168():
+    """Headline parity number: 64^3 / layers {3,5,7} / bpl=2 -> 1168 priors."""
+    cfg = SSD3DConfig.create(n_classes=2, input_channels=1, input_size=(64, 64, 64))
+    priors = model_priors(cfg)
+    assert priors.shape == (1168, 6)
+    assert priors.min() >= 0.0 and priors.max() <= 1.0
+
+
+def test_default_scales_linspace():
+    scales = default_scales((3, 5, 7), (64, 64, 64), 6, 14)
+    np.testing.assert_allclose(
+        [scales[3], scales[5], scales[7]], [6 / 64, 10 / 64, 14 / 64], rtol=1e-6
+    )
+
+
+def reference_prior_loop(fmap_dims, scales, aspect_ratios, boxes_per_location):
+    """Triple-loop prior generator mirroring ssd3d.py:286-342 semantics."""
+    prior_boxes = []
+    for fmap in sorted(aspect_ratios.keys()):
+        d0, d1, d2 = fmap_dims[fmap]
+        s = scales[fmap]
+        for i in range(d0):
+            for j in range(d1):
+                for k in range(d2):
+                    cz = (k + 0.5) / d2
+                    cx = (j + 0.5) / d1
+                    cy = (i + 0.5) / d0
+                    for ratio in aspect_ratios[fmap]:
+                        prior_boxes.append([cx, cy, cz, s, s, s])
+                        if ratio == 1.0:
+                            for div in range(1, boxes_per_location):
+                                a = s + s / div
+                                prior_boxes.append([cx, cy, cz, a, a, a])
+    return np.clip(np.asarray(prior_boxes, np.float32), 0, 1)
+
+
+def test_prior_order_parity():
+    fmap_dims = {3: (4, 4, 4), 5: (2, 2, 2), 7: (1, 1, 1)}
+    scales = {3: 0.09375, 5: 0.15625, 7: 0.21875}
+    ars = {3: [1.0], 5: [1.0], 7: [1.0]}
+    got = generate_priors(fmap_dims, scales, ars, 2)
+    expected = reference_prior_loop(fmap_dims, scales, ars, 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_prior_order_parity_bpl3_noncube_fmap():
+    fmap_dims = {2: (3, 4, 5)}
+    scales = {2: 0.2}
+    ars = {2: [1.0]}
+    got = generate_priors(fmap_dims, scales, ars, 3)
+    expected = reference_prior_loop(fmap_dims, scales, ars, 3)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = SSD3DConfig.create(n_classes=2, input_channels=1, input_size=(32, 32, 32))
+    model = SSD3D(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 32, 32, 32, 1))
+    variables = model.init(rng, x, train=False)
+    return cfg, model, variables
+
+
+def test_ssd3d_forward_shapes(small_model):
+    cfg, model, variables = small_model
+    priors = model_priors(cfg)
+    assert priors.shape[0] == 2 * (4**3 + 2**3 + 1)  # 146
+
+    x = jnp.ones((2, 32, 32, 32, 1))
+    locs, scores = model.apply(variables, x, train=False)
+    assert locs.shape == (2, priors.shape[0], 6)
+    assert scores.shape == (2, priors.shape[0], 2)
+    assert np.isfinite(np.asarray(locs)).all()
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_ssd3d_train_mode_updates_batch_stats(small_model):
+    cfg, model, variables = small_model
+    x = jnp.ones((1, 32, 32, 32, 1))
+    (locs, scores), mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+    leaves_before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_before, leaves_after)
+    )
+
+
+def test_convnet_forward():
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        base_network_config="convnet_maxpool_double",
+        aspect_ratios={6: [1.0], 9: [1.0]},
+    )
+    model = SSD3D(cfg)
+    x = jnp.zeros((1, 32, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    locs, scores = model.apply(
+        variables, x, train=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    priors = model_priors(cfg)
+    assert priors.shape[0] == 2 * (8**3 + 4**3)
+    assert locs.shape == (1, priors.shape[0], 6)
+
+
+def np_multibox_loss(locs, logits, boxes, labels, priors_center, thr):
+    """Numpy mirror of reference MultiBoxLoss (unchunked)."""
+    B, P, C = logits.shape
+    priors_corner = np.asarray(center_to_corner(jnp.asarray(priors_center)))
+    true_locs = np.zeros((B, P, 6), np.float32)
+    true_classes = np.zeros((B, P), np.int64)
+    for b in range(B):
+        if boxes[b].shape[0] == 0:
+            continue
+        obj_for_prior, lbl = reference_match(boxes[b], labels[b], priors_corner, thr)
+        true_classes[b] = lbl
+        matched = boxes[b][obj_for_prior]
+        true_locs[b] = np.asarray(
+            encode_boxes(corner_to_center(jnp.asarray(matched)), jnp.asarray(priors_center))
+        )
+    positive = true_classes > 0
+    n_pos = positive.sum()
+    loc_loss = np.abs(locs - true_locs)[positive].mean()
+
+    z = logits - logits.max(-1, keepdims=True)
+    log_probs = z - np.log(np.exp(z).sum(-1, keepdims=True))
+    ce = -np.take_along_axis(log_probs, true_classes[..., None], -1)[..., 0]
+    conf_loss = ce.sum() / n_pos
+    return conf_loss, loc_loss
+
+
+def test_multibox_loss_parity():
+    rng = np.random.default_rng(5)
+    P, B, M, C = 80, 2, 3, 2
+    centers = rng.uniform(0.2, 0.8, (P, 3))
+    sizes = rng.uniform(0.1, 0.3, (P, 3))
+    priors = np.concatenate([centers, sizes], 1).astype(np.float32)
+
+    lo = rng.uniform(0.1, 0.5, (B, M, 3))
+    hi = lo + rng.uniform(0.1, 0.4, (B, M, 3))
+    gt_boxes = np.concatenate([lo, np.minimum(hi, 1)], -1).astype(np.float32)
+    gt_labels = np.ones((B, M), np.int32)
+    gt_mask = np.ones((B, M), bool)
+
+    locs = rng.normal(0, 1, (B, P, 6)).astype(np.float32)
+    logits = rng.normal(0, 1, (B, P, C)).astype(np.float32)
+
+    conf, loc = multibox_loss(
+        jnp.asarray(locs), jnp.asarray(logits), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_labels), jnp.asarray(gt_mask), jnp.asarray(priors), 0.5,
+    )
+    exp_conf, exp_loc = np_multibox_loss(
+        locs, logits, [b for b in gt_boxes], [l for l in gt_labels], priors, 0.5
+    )
+    np.testing.assert_allclose(float(conf), exp_conf, rtol=1e-4)
+    np.testing.assert_allclose(float(loc), exp_loc, rtol=1e-3, atol=1e-5)
+
+
+def test_multibox_loss_grad_finite():
+    rng = np.random.default_rng(9)
+    P, B, M, C = 40, 1, 2, 2
+    priors = np.concatenate(
+        [rng.uniform(0.3, 0.7, (P, 3)), rng.uniform(0.1, 0.3, (P, 3))], 1
+    ).astype(np.float32)
+    lo = rng.uniform(0.2, 0.5, (B, M, 3))
+    gt_boxes = np.concatenate([lo, lo + 0.2], -1).astype(np.float32)
+    gt_labels = np.ones((B, M), np.int32)
+    gt_mask = np.array([[True, False]])
+
+    def loss_fn(locs, logits):
+        c, l = multibox_loss(
+            locs, logits, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_mask), jnp.asarray(priors), 0.5,
+        )
+        return c + l
+
+    locs = jnp.zeros((B, P, 6))
+    logits = jnp.zeros((B, P, C))
+    grads = jax.grad(loss_fn, argnums=(0, 1))(locs, logits)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multibox_loss_hard_negative_mining_reduces_conf():
+    rng = np.random.default_rng(3)
+    P, B, M, C = 60, 1, 2, 2
+    priors = np.concatenate(
+        [rng.uniform(0.3, 0.7, (P, 3)), rng.uniform(0.1, 0.3, (P, 3))], 1
+    ).astype(np.float32)
+    lo = rng.uniform(0.2, 0.5, (B, M, 3))
+    gt_boxes = np.concatenate([lo, lo + 0.25], -1).astype(np.float32)
+    gt_labels = np.ones((B, M), np.int32)
+    gt_mask = np.ones((B, M), bool)
+    locs = jnp.zeros((B, P, 6))
+    logits = jnp.asarray(rng.normal(0, 1, (B, P, C)).astype(np.float32))
+
+    conf_all, _ = multibox_loss(
+        locs, logits, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+        jnp.asarray(gt_mask), jnp.asarray(priors), 0.5,
+    )
+    conf_mined, _ = multibox_loss(
+        locs, logits, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+        jnp.asarray(gt_mask), jnp.asarray(priors), 0.5, hard_negative_mining=True,
+    )
+    assert float(conf_mined) <= float(conf_all)
