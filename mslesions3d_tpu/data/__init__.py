@@ -1,0 +1,4 @@
+from .nifti import load_nifti, save_nifti, NiftiImage
+from .boxes_from_seg import boxes_from_segmentation, segmentation_from_boxes
+from .datasets import SyntheticDataModule, LesionsDataModule, pad_objects
+from .generate import generate_image, generate_dataset

@@ -1,0 +1,208 @@
+"""Host-side preprocessing transforms (numpy/scipy) with a declarative registry.
+
+Replaces the reference's MONAI transform pipeline (lesions3d/datasets.py:
+99-122, 195-236): load -> orient -> resample -> crop-foreground -> normalize
+-> pad/crop -> seg->boxes. These run once per volume on the host (cached by
+the datamodule); random augmentations run on device (see augment.py).
+
+Transforms operate on a sample dict with keys: img (D,H,W) or (D,H,W,C),
+seg (D,H,W), affine (4,4), pixdim, subject, and after box generation:
+boxes (N,6) fractional corner-form + labels (N,).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+from .boxes_from_seg import boxes_from_segmentation
+
+# ---------------------------------------------------------------------------
+# orientation
+
+
+_AXCODE_DIRS = {"R": (0, 1), "L": (0, -1), "A": (1, 1), "P": (1, -1), "S": (2, 1), "I": (2, -1)}
+
+
+def io_orientation(affine: np.ndarray):
+    """(axis, direction) per volume axis from the affine (nibabel-style)."""
+    rzs = affine[:3, :3]
+    out = []
+    used = set()
+    for col in range(3):
+        vec = rzs[:, col]
+        order = np.argsort(-np.abs(vec))
+        axis = next(int(a) for a in order if int(a) not in used)
+        used.add(axis)
+        out.append((axis, 1 if vec[axis] >= 0 else -1))
+    return out
+
+
+def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
+    """Reorder/flip volume axes so axis i points along axcodes[i].
+
+    Parity: MONAI Orientationd (datasets.py:201). Works on 3D volumes.
+    """
+    targets = [_AXCODE_DIRS[c] for c in axcodes]
+    current = io_orientation(affine)
+
+    perm = []
+    flips = []
+    for t_axis, t_dir in targets:
+        src = next(i for i, (a, _) in enumerate(current) if a == t_axis)
+        perm.append(src)
+        flips.append(current[src][1] != t_dir)
+
+    def apply(vol):
+        if vol is None:
+            return None
+        v = np.transpose(vol, perm)
+        for ax, f in enumerate(flips):
+            if f:
+                v = np.flip(v, axis=ax)
+        return np.ascontiguousarray(v)
+
+    # update affine: permutation + flips
+    new_affine = affine.copy()
+    shape = img.shape[:3]
+    pa = np.zeros((4, 4))
+    pa[3, 3] = 1
+    for new_ax, src in enumerate(perm):
+        sign = -1 if flips[new_ax] else 1
+        pa[src, new_ax] = sign
+        if flips[new_ax]:
+            new_affine[:3, 3] += affine[:3, src] * (np.asarray(shape)[src] - 1)
+    new_affine[:3, :3] = affine[:3, :3] @ pa[:3, :3]
+    return apply(img), apply(seg), new_affine
+
+
+# ---------------------------------------------------------------------------
+# individual transforms
+
+
+def t_spacing(sample, pixdim=(1.0, 1.0, 1.0), mode=("bilinear", "nearest")):
+    """Resample to target voxel spacing (MONAI Spacingd; datasets.py:202)."""
+    cur = np.asarray(sample.get("pixdim", (1.0, 1.0, 1.0)), np.float64)
+    target = np.asarray(pixdim, np.float64)
+    zoom = cur / target
+    if np.allclose(zoom, 1.0):
+        return sample
+    orders = {"bilinear": 1, "nearest": 0}
+    sample["img"] = ndimage.zoom(sample["img"], zoom, order=orders[mode[0]])
+    if sample.get("seg") is not None:
+        sample["seg"] = ndimage.zoom(sample["seg"], zoom, order=orders[mode[1]])
+    sample["pixdim"] = tuple(target)
+    return sample
+
+
+def t_orientation(sample, axcodes="LPI"):
+    img, seg, affine = orient_to_axcodes(
+        sample["img"], sample.get("seg"), sample.get("affine", np.eye(4)), axcodes
+    )
+    sample["img"], sample["affine"] = img, affine
+    if seg is not None:
+        sample["seg"] = seg
+    return sample
+
+
+def t_crop_foreground(sample, margin=5, source_key="img"):
+    """Crop to the nonzero bounding box of source_key plus margin (datasets.py:203)."""
+    src = sample[source_key]
+    nz = np.nonzero(src > 0)
+    if len(nz[0]) == 0:
+        return sample
+    lo = [max(int(n.min()) - margin, 0) for n in nz]
+    hi = [min(int(n.max()) + 1 + margin, s) for n, s in zip(nz, src.shape)]
+    sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+    sample["img"] = sample["img"][sl]
+    if sample.get("seg") is not None:
+        sample["seg"] = sample["seg"][sl]
+    return sample
+
+
+def t_normalize_intensity(sample, nonzero=True):
+    """Zero-mean/unit-std over (nonzero) voxels (MONAI NormalizeIntensityd)."""
+    img = sample["img"].astype(np.float32)
+    if nonzero:
+        mask = img != 0
+        vals = img[mask]
+        if vals.size:
+            img[mask] = (vals - vals.mean()) / max(vals.std(), 1e-8)
+    else:
+        img = (img - img.mean()) / max(img.std(), 1e-8)
+    sample["img"] = img
+    return sample
+
+
+def t_resize_with_pad_or_crop(sample, spatial_size, mode="replicate"):
+    """Symmetric center pad/crop to spatial_size (MONAI ResizeWithPadOrCropd)."""
+    pad_mode = {"replicate": "edge", "constant": "constant"}[mode]
+
+    def fix(vol, is_seg):
+        for ax, target in enumerate(spatial_size):
+            cur = vol.shape[ax]
+            if cur > target:
+                start = (cur - target) // 2
+                sl = [slice(None)] * vol.ndim
+                sl[ax] = slice(start, start + target)
+                vol = vol[tuple(sl)]
+            elif cur < target:
+                before = (target - cur) // 2
+                after = target - cur - before
+                pads = [(0, 0)] * vol.ndim
+                pads[ax] = (before, after)
+                vol = np.pad(vol, pads, mode="constant" if is_seg else pad_mode)
+        return vol
+
+    sample["img"] = fix(sample["img"], False)
+    if sample.get("seg") is not None:
+        sample["seg"] = fix(sample["seg"], True)
+    return sample
+
+
+def t_bounding_boxes_generator(sample, segmentation_mode="instances", thresholds=None,
+                               classes=None, n_classes=None):
+    boxes, labels = boxes_from_segmentation(
+        sample["seg"], segmentation_mode, thresholds, classes, n_classes
+    )
+    sample["boxes"] = boxes
+    sample["labels"] = labels
+    return sample
+
+
+def t_scale_intensity(sample, minv=0.0, maxv=1.0):
+    img = sample["img"].astype(np.float32)
+    lo, hi = img.min(), img.max()
+    if hi > lo:
+        img = (img - lo) / (hi - lo) * (maxv - minv) + minv
+    sample["img"] = img
+    return sample
+
+
+# Names mirror the reference registry (datasets.py:99-122). Random
+# augmentations (flip/rotate90/zoom/affine/shift/scale intensity) are
+# device-side — see augment.py — and are configured by name through
+# AugmentConfig in the datamodules.
+HOST_TRANSFORMS = {
+    "orientation": t_orientation,
+    "spacing": t_spacing,
+    "crop_foreground": t_crop_foreground,
+    "normalizeintensity": t_normalize_intensity,
+    "resize_with_pad_or_crop": t_resize_with_pad_or_crop,
+    "bounding_boxes_generator": t_bounding_boxes_generator,
+    "scale_intensity": t_scale_intensity,
+}
+
+
+def get_transform_from_name(name: str, **kwargs):
+    fn = HOST_TRANSFORMS[name]
+    return lambda sample: fn(sample, **kwargs)
+
+
+def compose(transforms):
+    def run(sample):
+        for t in transforms:
+            sample = t(sample)
+        return sample
+
+    return run

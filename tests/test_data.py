@@ -1,0 +1,238 @@
+"""Data pipeline tests: NIfTI I/O, synthetic generator, seg<->boxes, transforms,
+datamodule batching, and device-side augmentation geometry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mslesions3d_tpu.data import (
+    SyntheticDataModule,
+    boxes_from_segmentation,
+    generate_dataset,
+    load_nifti,
+    pad_objects,
+    save_nifti,
+    segmentation_from_boxes,
+)
+from mslesions3d_tpu.data.augment import AugmentConfig, augment_sample
+from mslesions3d_tpu.data.transforms import (
+    t_crop_foreground,
+    t_normalize_intensity,
+    t_resize_with_pad_or_crop,
+    t_spacing,
+)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(17, 23, 9)).astype(np.float32)
+    affine = np.diag([1.0, 2.0, 3.0, 1.0])
+    affine[:3, 3] = (-5, 4, 7)
+    path = tmp_path / "x.nii.gz"
+    save_nifti(path, data, affine)
+    img = load_nifti(path)
+    np.testing.assert_allclose(img.data, data, rtol=1e-6)
+    np.testing.assert_allclose(img.affine, affine, rtol=1e-6)
+    np.testing.assert_allclose(img.pixdim, (1, 2, 3), rtol=1e-5)
+
+
+def test_nifti_uncompressed_and_dtypes(tmp_path):
+    data = (np.arange(60).reshape(3, 4, 5) % 7).astype(np.int16)
+    path = tmp_path / "y.nii"
+    save_nifti(path, data)
+    img = load_nifti(path)
+    assert img.data.dtype == np.int16
+    np.testing.assert_array_equal(img.data, data)
+
+
+def test_boxes_from_segmentation_classes_mode():
+    seg = np.zeros((32, 32, 32), np.float32)
+    seg[4:10, 4:10, 4:10] = 1  # class-1 cube
+    seg[20:26, 18:28, 12:20] = 2  # class-2 block
+    boxes, labels = boxes_from_segmentation(seg, "classes", n_classes=2)
+    assert boxes.shape == (2, 6)
+    np.testing.assert_array_equal(sorted(labels), [1, 2])
+    # inclusive max index normalization (utils.py:500)
+    cube = boxes[labels == 1][0]
+    np.testing.assert_allclose(cube * 32, [4, 4, 4, 9, 9, 9], atol=1e-5)
+
+
+def test_boxes_from_segmentation_binary_merges_touching():
+    seg = np.zeros((24, 24, 24), np.float32)
+    seg[2:6, 2:6, 2:6] = 1
+    seg[5:9, 2:6, 2:6] = 1  # touches the first cube -> one component
+    seg[15:19, 15:19, 15:19] = 1
+    boxes, labels = boxes_from_segmentation(seg, "binary")
+    assert boxes.shape[0] == 2
+    assert set(labels) == {1}
+
+
+def test_boxes_from_segmentation_instances_thresholds():
+    seg = np.zeros((16, 16, 16), np.float32)
+    seg[1:4, 1:4, 1:4] = 1001
+    seg[8:12, 8:12, 8:12] = 2001
+    boxes, labels = boxes_from_segmentation(
+        seg, "instances", thresholds=[(1000, 2000), (2000, np.inf)]
+    )
+    np.testing.assert_array_equal(sorted(labels), [1, 2])
+
+
+def test_zero_volume_boxes_dropped():
+    seg = np.zeros((16, 16, 16), np.float32)
+    seg[5, 5, 5] = 1  # single voxel -> inclusive box has zero volume
+    seg[8:12, 8:12, 8:12] = 1
+    boxes, labels = boxes_from_segmentation(seg, "binary")
+    assert boxes.shape[0] == 1
+
+
+def test_seg_boxes_roundtrip():
+    """Paint wireframes from boxes, re-derive boxes, recover the originals."""
+    shape = (32, 32, 32)
+    boxes = np.array(
+        [[4, 4, 4, 12, 12, 12], [18, 20, 16, 28, 30, 26]], np.float32
+    ) / np.asarray(shape * 2, np.float32)
+    labels = np.array([1, 1])
+    instances, class_map = segmentation_from_boxes(boxes, labels, shape)
+    assert set(np.unique(instances)) == {0.0, 1.0, 2.0}
+    rederived, relabels = boxes_from_segmentation(instances, "binary")
+    np.testing.assert_allclose(np.sort(rederived, 0), np.sort(boxes, 0), atol=1e-5)
+
+
+def test_generator_and_datamodule(tmp_path):
+    root = generate_dataset(
+        tmp_path, num_images=6, n_classes=1, image_size=(24, 24, 24),
+        object_size=(6, 10), num_objects=(1, 3), seed=0, subdir="ds",
+    )
+    dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2, max_objects=8)
+    assert len(dm.subjects_list) == 6
+    dm.setup("fit")
+    assert len(dm.trainsubs) == 4 and len(dm.testsubs) == 2
+
+    batch = next(dm.train_batches(epoch=0))
+    assert batch["image"].shape == (2, 24, 24, 24, 1)
+    assert batch["boxes"].shape == (2, 8, 6)
+    assert batch["box_mask"].shape == (2, 8)
+    assert batch["batch_mask"].all()
+    assert batch["box_mask"].sum() >= 2  # every image has >= 1 object
+    # normalized intensity: nonzero voxels ~zero-mean
+    img = batch["image"][0, ..., 0]
+    assert abs(img[img != 0].mean()) < 0.2
+
+    # partial final batch is padded + masked
+    batches = list(dm.val_batches())
+    assert batches[-1]["batch_mask"].sum() == 2
+
+    # determinism of the generator
+    root2 = generate_dataset(
+        tmp_path / "again", num_images=1, n_classes=1, image_size=(24, 24, 24),
+        object_size=(6, 10), num_objects=(1, 3), seed=0, subdir="ds",
+    )
+    a = load_nifti(root / "images" / "sub-0000_image.nii.gz").data
+    b = load_nifti(root2 / "images" / "sub-0000_image.nii.gz").data
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generator_two_classes(tmp_path):
+    root = generate_dataset(
+        tmp_path, num_images=4, n_classes=2, image_size=(32, 32, 32),
+        object_size=(10, 16), num_objects=(2, 4), object_width=3, seed=1,
+        subdir="ds2",
+    )
+    seg = load_nifti(root / "labels" / "sub-0001_seg.nii.gz").data
+    assert set(np.unique(seg)).issubset({0.0, 1.0, 2.0})
+    boxes, labels = boxes_from_segmentation(seg, "classes", n_classes=2)
+    assert boxes.shape[0] >= 1
+
+
+def test_pad_objects_truncates_with_warning():
+    boxes = np.zeros((5, 6), np.float32)
+    labels = np.ones(5, np.int64)
+    with pytest.warns(UserWarning):
+        b, l, m = pad_objects(boxes, labels, 3)
+    assert b.shape == (3, 6) and m.all()
+
+
+def test_transforms():
+    img = np.zeros((20, 20, 20), np.float32)
+    img[5:15, 5:15, 5:15] = np.random.default_rng(0).uniform(1, 3, (10, 10, 10))
+    s = {"img": img.copy(), "seg": (img > 0).astype(np.float32)}
+
+    s = t_crop_foreground(s, margin=2)
+    assert s["img"].shape == (14, 14, 14)
+
+    before_nonzero = s["img"] != 0
+    s = t_normalize_intensity(s, nonzero=True)
+    assert abs(s["img"][before_nonzero].mean()) < 1e-4
+
+    s = t_resize_with_pad_or_crop(s, (16, 12, 16))
+    assert s["img"].shape == (16, 12, 16)
+    assert s["seg"].shape == (16, 12, 16)
+
+    s2 = {"img": img.copy(), "seg": (img > 0).astype(np.float32), "pixdim": (2.0, 1.0, 1.0)}
+    s2 = t_spacing(s2, (1.0, 1.0, 1.0))
+    assert s2["img"].shape == (40, 20, 20)
+    assert set(np.unique(s2["seg"])).issubset({0.0, 1.0})
+
+
+def _boxes_close(a, b, tol=1.5 / 32):
+    return np.allclose(np.sort(a, 0), np.sort(b, 0), atol=tol)
+
+
+def test_augment_flip_geometry():
+    """Flipping the image and the boxes stays consistent with re-derivation."""
+    shape = (32, 32, 32)
+    boxes = np.array([[4, 6, 8, 12, 16, 20]], np.float32) / np.asarray(shape * 2, np.float32)
+    seg, _ = segmentation_from_boxes(boxes, [1], shape)
+
+    cfg = AugmentConfig(flip_axes=(0, 1, 2), flip_prob=1.0)
+    img_aug, boxes_aug = augment_sample(
+        jax.random.PRNGKey(0), jnp.asarray(seg[..., None]), jnp.asarray(boxes), cfg
+    )
+    rederived, _ = boxes_from_segmentation(np.asarray(img_aug)[..., 0] > 0, "binary")
+    assert _boxes_close(np.asarray(boxes_aug), rederived)
+
+
+def test_augment_rot90_geometry():
+    shape = (32, 32, 32)
+    boxes = np.array([[4, 6, 8, 12, 16, 20]], np.float32) / np.asarray(shape * 2, np.float32)
+    seg, _ = segmentation_from_boxes(boxes, [1], shape)
+
+    for plane in [(1, 2), (0, 1), (0, 2)]:
+        cfg = AugmentConfig(rot90_planes=(plane,), rot90_prob=1.0)
+        img_aug, boxes_aug = augment_sample(
+            jax.random.PRNGKey(1), jnp.asarray(seg[..., None]), jnp.asarray(boxes), cfg
+        )
+        rederived, _ = boxes_from_segmentation(np.asarray(img_aug)[..., 0] > 0, "binary")
+        assert _boxes_close(np.asarray(boxes_aug), rederived), f"plane {plane}"
+
+
+def test_augment_affine_geometry():
+    shape = (32, 32, 32)
+    boxes = np.array([[8, 8, 8, 22, 22, 22]], np.float32) / np.asarray(shape * 2, np.float32)
+    vol = np.zeros(shape, np.float32)
+    vol[8:23, 8:23, 8:23] = 1.0  # filled cube (inclusive box [8, 22])
+
+    cfg = AugmentConfig(affine_prob=1.0, translate_range=3.0, scale_range=0.15)
+    img_aug, boxes_aug = augment_sample(
+        jax.random.PRNGKey(2), jnp.asarray(vol[..., None]), jnp.asarray(boxes), cfg
+    )
+    rederived, _ = boxes_from_segmentation(np.asarray(img_aug)[..., 0] > 0.5, "binary")
+    assert rederived.shape[0] == 1
+    assert _boxes_close(np.asarray(boxes_aug), rederived, tol=2.0 / 32)
+
+
+def test_augment_identity_config():
+    cfg = AugmentConfig()
+    assert cfg.identity
+    img = jnp.ones((8, 8, 8, 1))
+    boxes = jnp.zeros((2, 6))
+    out_img, out_boxes = augment_sample(jax.random.PRNGKey(0), img, boxes, cfg)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(img))
+
+
+def test_augment_from_names():
+    cfg = AugmentConfig.from_names(["flip", "rotate90d", "translate"])
+    assert cfg.flip_axes == (0, 1, 2)
+    assert len(cfg.rot90_planes) == 3
+    assert cfg.affine_prob == 0.7
