@@ -1,0 +1,197 @@
+"""Predict CLI — checkpoint -> saved detections + per-subject metrics.
+
+Parity target: lesions3d/predict.py. Per subject it writes:
+  sub-<id>_preds.nii.gz   wireframe NIfTI of detected boxes (instance ids)
+  sub-<id>_preds.csv      (label_id, score) table
+  sub-<id>_preds.json     {id: (frac_box, voxel_box, label, score)}
+plus aa_metrics_per_subject_(min_IoU=0.5).json / (min_IoU=0.1).json, under
+the reference layout <out>/<dataset>/<model>/<subset>_set/min_score_<s>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data.boxes_from_seg import segmentation_from_boxes
+from ..data.datasets import SyntheticDataModule
+from ..data.nifti import save_nifti
+from ..models.ssd3d import SSD3D, model_priors
+from ..ops import metrics as metrics_lib
+from ..ops.nms import detections_to_lists
+from ..train.checkpoints import load_checkpoint
+from ..train.loop import array_batch
+from ..train.state import create_train_state
+from ..train.steps import make_predict_step
+
+
+def build_parser():
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset")
+    p.add_argument("-dn", "--dataset_name", type=str, default=None)
+    p.add_argument("-m", "--model_path", type=str, required=True,
+                   help="path to a checkpoint directory")
+    p.add_argument("-mn", "--model_name", type=str, default=None)
+    p.add_argument("-p", "--percentage", type=float, default=1.0)
+    p.add_argument("-su", "--subject", type=str, default=None)
+    p.add_argument("-c", "--n_classes", type=int, default=1)
+    p.add_argument("-nw", "--num_workers", type=int, default=8)
+    p.add_argument("-ps", "--predict_subset", type=str,
+                   choices=["train", "validation", "test", "all"], default="train")
+    p.add_argument("-sc", "--min_score", type=float, default=0.5)
+    p.add_argument("-k", "--top_k", type=int, default=100)
+    p.add_argument("-o", "--output_dir", type=str, default="../data/predictions/")
+    p.add_argument("-si", "--save_images", type=int, default=1)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    return p
+
+
+def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, scores,
+                             affine=None, min_score=0.5, save_images=True):
+    """Write the reference's three per-subject artifacts (predict.py:155-232)."""
+    import pandas as pd
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    scores_map = []
+    all_infos = {}
+    keep_boxes, keep_labels = [], []
+    for j in range(len(boxes)):
+        score = float(scores[j])
+        scores_map.append((j + 1, score))
+        if score < min_score or int(labels[j]) == 0:
+            continue
+        frac = [float(v) for v in boxes[j]]
+        vox = (np.clip(boxes[j], 0, 1) * np.asarray(image_shape * 2)).astype(int).tolist()
+        all_infos[j + 1] = (frac, vox, int(labels[j]), score)
+        keep_boxes.append(boxes[j])
+        keep_labels.append(j + 1)  # instance ids in the wireframe volume
+
+    if save_images:
+        if keep_boxes:
+            instances, _ = segmentation_from_boxes(
+                np.asarray(keep_boxes), np.ones(len(keep_boxes)), tuple(image_shape)
+            )
+            # re-label wireframes with the original detection index
+            painted = np.zeros(image_shape, np.float32)
+            for j, b in zip(keep_labels, keep_boxes):
+                one, _ = segmentation_from_boxes(b[None], [1], tuple(image_shape))
+                painted = np.where(one > 0, float(j), painted)
+        else:
+            painted = np.zeros(image_shape, np.float32)
+        save_nifti(output_dir / f"sub-{subject}_preds.nii.gz", painted,
+                   affine if affine is not None else np.eye(4))
+
+    pd.DataFrame(scores_map, columns=["label_id", "score"]).to_csv(
+        output_dir / f"sub-{subject}_preds.csv"
+    )
+    with open(output_dir / f"sub-{subject}_preds.json", "w") as f:
+        json.dump(all_infos, f)
+
+
+def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
+                    top_k=100, output_dir=None, save_images=True):
+    """Run detection over a subset; returns per-subject ragged results."""
+    model = SSD3D(config)
+    priors = model_priors(config)
+    step = make_predict_step(config, model, priors, min_score=min_score, top_k=top_k)
+
+    results = {}
+    gt = {}
+    for batch in dataset.predict_batches(predict_subset):
+        det = step(state, array_batch(batch)["image"])
+        det = {k: np.asarray(v) for k, v in det.items()}
+        db, dl, ds = detections_to_lists(det)
+        for i, subj in enumerate(batch["subjects"]):
+            if subj is None or not batch["batch_mask"][i]:
+                continue
+            results[subj] = (db[i], dl[i], ds[i])
+            mask = batch["box_mask"][i]
+            gt[subj] = (batch["boxes"][i][mask], batch["labels"][i][mask])
+            if output_dir is not None:
+                sample = dataset.get_sample(subj)
+                save_subject_predictions(
+                    output_dir, subj, sample["img"].shape[:3], db[i], dl[i], ds[i],
+                    affine=sample.get("affine"), min_score=min_score,
+                    save_images=save_images,
+                )
+    return results, gt
+
+
+def compute_subjects_mAP(results, gt, n_classes, min_iou, output_dir=None):
+    """Per-subject detail metrics (predict.py:87-152)."""
+    all_metrics = {}
+    for subj, (db, dl, ds) in results.items():
+        gb, gl = gt[subj]
+        detail = metrics_lib.calculate_mAP(
+            [db], [dl], [ds], [gb], [gl], [np.zeros(len(gl), bool)],
+            n_classes=n_classes, min_overlap=min_iou, return_detail=True,
+        )
+        all_metrics[subj] = {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in detail.items()
+            if k != "sorted_det_scores"
+        }
+    if output_dir is not None:
+        path = Path(output_dir) / f"aa_metrics_per_subject_(min_IoU={min_iou}).json"
+        with open(path, "w") as f:
+            json.dump(all_metrics, f, indent=4)
+    return all_metrics
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    np.random.seed(970205)
+
+    subsets = (["train", "validation", "test"] if args.predict_subset == "all"
+               else [args.predict_subset])
+
+    config, payload, meta = load_checkpoint(args.model_path)
+
+    out_root = Path(args.output_dir)
+    if args.dataset_name:
+        out_root = out_root / args.dataset_name
+    if args.model_name:
+        out_root = out_root / args.model_name
+    out_root.mkdir(parents=True, exist_ok=True)
+    ckpt_copy = out_root / Path(args.model_path).name
+    if not ckpt_copy.exists():
+        shutil.copytree(args.model_path, ckpt_copy)
+
+    dataset = SyntheticDataModule(
+        data_dir=args.dataset_path, dataset_name=args.dataset_name,
+        n_classes=args.n_classes, subject=args.subject, percentage=args.percentage,
+        batch_size=1, cache=True,
+    )
+    dataset.setup("predict")
+
+    # rebuild state from checkpoint (inference only needs params+stats)
+    model = SSD3D(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(0), kaiming=False)
+    _, state, _ = load_checkpoint(args.model_path, state_template=state)
+
+    for subset in subsets:
+        output_dir = out_root / f"{subset}_set" / f"min_score_{args.min_score}"
+        results, gt = predict_dataset(
+            dataset, state, config, subset, args.min_score, args.top_k,
+            output_dir, bool(args.save_images),
+        )
+        for min_iou in (0.5, 0.1):
+            m = compute_subjects_mAP(results, gt, config.n_classes, min_iou, output_dir)
+            mean_f1 = np.mean([v["f1_score"] for v in m.values()]) if m else float("nan")
+            print(f"[predict] subset={subset} IoU={min_iou} min_score={args.min_score} "
+                  f"subjects={len(m)} mean_f1={mean_f1:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()

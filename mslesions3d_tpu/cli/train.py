@@ -1,0 +1,148 @@
+"""Train CLI — flag surface mirrors the reference (lesions3d/train.py:27-64).
+
+Usage:
+  python -m mslesions3d_tpu.cli.train -d <dataset_root> [-dn name] [...]
+
+TPU-native additions: --data_parallel (shard batches over all chips),
+--dtype bfloat16, --max_objects (GT padding), --hard_negative_mining.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..data.augment import AugmentConfig
+from ..data.datasets import SyntheticDataModule
+from ..models.ssd3d import SSD3DConfig
+from ..train.loop import Trainer, TrainerConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset",
+                   help="path to dataset used for training and validation")
+    p.add_argument("-dn", "--dataset_name", type=str, default=None)
+    p.add_argument("-su", "--subject", type=str, default=None,
+                   help="train on a single subject id (debugging)")
+    p.add_argument("-p", "--percentage", type=float, default=1.0)
+    p.add_argument("--n_classes", type=int, default=1)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("-lr", "--learning_rate", type=float, default=0.001)
+    p.add_argument("-sr", "--scheduler", type=str, default="CosineAnnealingLR")
+    p.add_argument("-th", "--threshold", type=float, default=[0.1, 0.2], nargs="+",
+                   help="IoU threshold(s) for box matching (1=hard, 2=soft band)")
+    p.add_argument("-pl", "--prediction_layers", type=str, default="3 5 7")
+    p.add_argument("-cfg", "--base_network_config", type=str, default="mobilenet")
+    p.add_argument("-sc", "--scales", type=json.loads, default="{}")
+    p.add_argument("-bpl", "--boxes_per_location", type=int, default=2)
+    p.add_argument("-minos", "--min_object_size", type=int, default=6)
+    p.add_argument("-maxos", "--max_object_size", type=int, default=14)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("-a", "--augmentations", type=str, nargs="*",
+                   default=["flip", "rotate90d", "translate"])
+    p.add_argument("-ld", "--logdir", type=str, default="../logs/artificial_dataset")
+    p.add_argument("-c", "--cache", type=int, default=0)
+    p.add_argument("-nw", "--num_workers", type=int, default=8,
+                   help="accepted for reference-CLI compatibility (host pipeline is in-process)")
+    p.add_argument("-wm", "--width_mult", type=float, default=1.0)
+    p.add_argument("-en", "--experiment_name", type=str, default="multiple_subjects_64")
+    p.add_argument("-wb", "--use_wandb", type=int, default=0)
+    p.add_argument("-me", "--max_epochs", type=int, default=None)
+    p.add_argument("-mi", "--max_iterations", type=int, default=4000)
+    p.add_argument("-cp", "--checkpoint", type=str, default=None,
+                   help="checkpoint dir to resume from")
+    p.add_argument("-v", "--verbose", type=int, default=0)
+    p.add_argument("-rs", "--seed", type=int, default=970205)
+    p.add_argument("-es", "--early_stopping", type=int, default=1)
+    p.add_argument("-cm", "--compute_metric_every_n_epochs", type=int, default=1)
+    p.add_argument("-coms", "--comments", type=str, default="")
+    # TPU-native extensions
+    p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--max_objects", type=int, default=16)
+    p.add_argument("--hard_negative_mining", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    try:
+        layers = [int(x) for x in args.prediction_layers.split()]
+    except ValueError:
+        raise SystemExit("prediction_layers must be space-separated integers, e.g. '3 5 7'")
+    aspect_ratios = {l: [1.0] for l in layers}
+    scales = {int(k): v for k, v in args.scales.items()}
+
+    np.random.seed(args.seed)
+
+    dataset = SyntheticDataModule(
+        data_dir=args.dataset_path,
+        dataset_name=args.dataset_name,
+        n_classes=args.n_classes,
+        subject=args.subject,
+        percentage=args.percentage,
+        batch_size=args.batch_size,
+        random_state=args.seed,
+        cache=True,  # in-memory cache; args.cache kept for flag parity
+        max_objects=args.max_objects,
+    )
+    dataset.setup("fit")
+    input_size = dataset.get_sample(dataset.trainsubs[0])["img"].shape[:3]
+    print(f"[train] {len(dataset.trainsubs)} train / {len(dataset.testsubs)} val "
+          f"subjects, input size {input_size}")
+
+    config = SSD3DConfig.create(
+        n_classes=args.n_classes + 1,
+        input_channels=1,
+        input_size=tuple(input_size),
+        lr=args.learning_rate,
+        width_mult=args.width_mult,
+        scheduler=args.scheduler,
+        batch_size=args.batch_size,
+        comments=args.comments,
+        compute_metric_every_n_epochs=args.compute_metric_every_n_epochs,
+        aspect_ratios=aspect_ratios,
+        scales=scales,
+        alpha=args.alpha,
+        threshold=args.threshold,
+        min_object_size=args.min_object_size,
+        max_object_size=args.max_object_size,
+        base_network_config=args.base_network_config,
+        boxes_per_location=args.boxes_per_location,
+        dtype=args.dtype,
+    )
+
+    augment = AugmentConfig.from_names(args.augmentations)
+
+    trainer = Trainer(TrainerConfig(
+        logdir=args.logdir,
+        experiment_name=args.experiment_name,
+        max_epochs=args.max_epochs,
+        max_steps=-1 if args.max_epochs else args.max_iterations,
+        early_stopping=bool(args.early_stopping),
+        compute_metric_every_n_epochs=args.compute_metric_every_n_epochs,
+        seed=args.seed,
+        use_wandb=bool(args.use_wandb),
+        data_parallel=bool(args.data_parallel),
+        hard_negative_mining=bool(args.hard_negative_mining),
+        verbose=True,
+    ))
+    state, result = trainer.fit(config, dataset, augment=augment, resume=args.checkpoint)
+    print(f"[train] done; best avg_val_loss={result['best_val_loss']:.4f}; "
+          f"best checkpoint: {result['best_checkpoint']}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -45,12 +45,15 @@ def multibox_loss(
     priors_center: jnp.ndarray,  # (P, 6)
     threshold_lo,
     threshold_hi=0.0,
+    batch_mask: jnp.ndarray | None = None,  # (B,) False for padded batch rows
     *,
     soft: bool = False,
     neg_pos_ratio: int = 3,
     hard_negative_mining: bool = False,
 ):
     """Returns (conf_loss, loc_loss) scalars (fp32)."""
+    if batch_mask is not None:
+        gt_mask = gt_mask & batch_mask[:, None]
     priors_corner = center_to_corner(priors_center)
     loc_targets, cls_targets = match_priors_batch(
         gt_boxes, gt_labels, gt_mask, priors_corner, priors_center,
@@ -67,6 +70,8 @@ def multibox_loss(
     # CONFIDENCE: CE over all priors; ignore band (-1) contributes zero.
     ce = _cross_entropy(predicted_scores, jnp.maximum(cls_targets, 0))  # (B, P)
     ce = jnp.where(cls_targets < 0, 0.0, ce)
+    if batch_mask is not None:
+        ce = jnp.where(batch_mask[:, None], ce, 0.0)
 
     if hard_negative_mining:
         # Keep positives + the top (neg_pos_ratio * n_pos_i) hardest negatives
@@ -88,17 +93,17 @@ def multibox_loss(
 
 def multibox_loss_from_config(config, predicted_locs, predicted_scores,
                               gt_boxes, gt_labels, gt_mask, priors_center,
-                              hard_negative_mining: bool = False):
+                              batch_mask=None, hard_negative_mining: bool = False):
     """Config-driven wrapper resolving hard vs soft thresholds."""
     if config.soft_matching:
         lo, hi = config.threshold
         return multibox_loss(
             predicted_locs, predicted_scores, gt_boxes, gt_labels, gt_mask,
-            priors_center, lo, hi, soft=True,
+            priors_center, lo, hi, batch_mask, soft=True,
             hard_negative_mining=hard_negative_mining,
         )
     return multibox_loss(
         predicted_locs, predicted_scores, gt_boxes, gt_labels, gt_mask,
-        priors_center, config.threshold[0], 0.0, soft=False,
+        priors_center, config.threshold[0], 0.0, batch_mask, soft=False,
         hard_negative_mining=hard_negative_mining,
     )

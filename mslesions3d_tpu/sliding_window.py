@@ -1,0 +1,158 @@
+"""Sliding-window full-volume inference with on-device patch stitching.
+
+NEW capability (BASELINE.json config #3): the reference has no sliding window
+— it resizes/crops every volume to a fixed size and runs it in one shot
+(SURVEY.md §5, lesions3d/datasets.py:206). Here arbitrarily large volumes are
+tiled into overlapping model-sized patches; every patch runs through the
+detector in device-sized batches, per-patch detections are mapped to global
+fractional coordinates, and a second-stage class-wise greedy NMS on device
+stitches overlapping patches' detections into one result.
+
+Everything after patch extraction is a single jit program per (volume shape,
+patch grid) pair: patches are gathered with dynamic slices under vmap, so no
+host round-trips happen between patches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.ssd3d import SSD3D, SSD3DConfig, model_priors
+from .ops.nms import NEG_INF, detect_objects, greedy_nms
+
+
+def patch_offsets(volume_shape, patch_size, overlap: float = 0.25):
+    """Host-side grid of patch start offsets covering the volume.
+
+    Stride = patch * (1 - overlap); the final patch per axis is clamped so
+    the window never leaves the volume (full coverage, possibly more overlap
+    at the far edge).
+    """
+    offsets = []
+    per_axis = []
+    for size, patch in zip(volume_shape, patch_size):
+        if size < patch:
+            raise ValueError(f"volume {volume_shape} smaller than patch {patch_size}")
+        stride = max(int(round(patch * (1.0 - overlap))), 1)
+        starts = list(range(0, size - patch + 1, stride))
+        if starts[-1] != size - patch:
+            starts.append(size - patch)
+        per_axis.append(starts)
+    for x in per_axis[0]:
+        for y in per_axis[1]:
+            for z in per_axis[2]:
+                offsets.append((x, y, z))
+    return np.asarray(offsets, np.int32)
+
+
+def make_sliding_window_detector(
+    config: SSD3DConfig,
+    volume_shape: tuple[int, int, int],
+    overlap: float = 0.25,
+    patch_batch: int = 8,
+    min_score: float | None = None,
+    max_overlap: float | None = None,
+    top_k: int | None = None,
+):
+    """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
+
+    Returns a host-callable that runs the jitted patch pipeline. Detections
+    come back in GLOBAL fractional coordinates of the full volume.
+    """
+    model = SSD3D(config)
+    priors = jnp.asarray(model_priors(config))
+    patch = config.input_size
+    offsets = patch_offsets(volume_shape, patch, overlap)
+    n_patches = offsets.shape[0]
+    # pad the patch grid to a multiple of the device batch
+    n_padded = -(-n_patches // patch_batch) * patch_batch
+    offsets_padded = np.concatenate(
+        [offsets, np.repeat(offsets[-1:], n_padded - n_patches, axis=0)], axis=0
+    )
+    patch_valid = np.arange(n_padded) < n_patches
+
+    min_score = config.min_score if min_score is None else min_score
+    max_overlap = config.max_overlap if max_overlap is None else max_overlap
+    top_k = config.top_k if top_k is None else top_k
+    per_patch_k = max(top_k // 2, 16)
+
+    vol_size = jnp.asarray(volume_shape, jnp.float32)
+    patch_size = jnp.asarray(patch, jnp.float32)
+
+    @jax.jit
+    def run(variables, volume):
+        offs = jnp.asarray(offsets_padded)
+        valid = jnp.asarray(patch_valid)
+
+        def extract(off):
+            return jax.lax.dynamic_slice(
+                volume, (off[0], off[1], off[2], 0), (*patch, volume.shape[-1])
+            )
+
+        def process_chunk(carry, idx):
+            chunk_offs = jax.lax.dynamic_slice_in_dim(offs, idx * patch_batch, patch_batch)
+            chunk_valid = jax.lax.dynamic_slice_in_dim(valid, idx * patch_batch, patch_batch)
+            patches = jax.vmap(extract)(chunk_offs)
+            locs, scores = model.apply(variables, patches, train=False)
+            det = detect_objects(
+                locs, scores, priors,
+                n_classes=config.n_classes, min_score=min_score,
+                max_overlap=max_overlap, top_k=per_patch_k,
+            )
+            # map to global fractional coordinates
+            off_frac = chunk_offs.astype(jnp.float32) / vol_size  # (B, 3)
+            scale = patch_size / vol_size  # (3,)
+            lo = det["boxes"][..., :3] * scale + off_frac[:, None, :]
+            hi = det["boxes"][..., 3:] * scale + off_frac[:, None, :]
+            # clip to the volume (the reference clips at save time,
+            # predict.py:195)
+            boxes = jnp.clip(jnp.concatenate([lo, hi], axis=-1), 0.0, 1.0)
+            det_valid = (
+                (jnp.arange(det["scores"].shape[-1])[None, :] < det["count"][:, None])
+                & chunk_valid[:, None]
+            )
+            scores_out = jnp.where(det_valid, det["scores"], 0.0)
+            labels_out = jnp.where(det_valid, det["labels"], 0)
+            return carry, (boxes, labels_out, scores_out)
+
+        n_chunks = n_padded // patch_batch
+        _, (boxes, labels, scores) = jax.lax.scan(
+            process_chunk, None, jnp.arange(n_chunks)
+        )
+        # flatten (chunks, B, K, ...) -> (N, ...)
+        boxes = boxes.reshape(-1, 6)
+        labels = labels.reshape(-1)
+        scores = scores.reshape(-1)
+
+        # second-stage class-wise NMS to merge duplicate detections from
+        # overlapping patches
+        def stitch_class(c):
+            cls_scores = jnp.where(labels == c, scores, 0.0)
+            k = min(10 * top_k, cls_scores.shape[0])
+            cand_scores, cand_idx = jax.lax.top_k(cls_scores, k)
+            cand_boxes = boxes[cand_idx]
+            keep = greedy_nms(cand_boxes, cand_scores > min_score, max_overlap)
+            return cand_boxes, jnp.where(keep, cand_scores, NEG_INF)
+
+        cls_range = jnp.arange(1, config.n_classes)
+        cls_boxes, cls_scores = jax.vmap(stitch_class)(cls_range)
+        cls_labels = jnp.broadcast_to(cls_range[:, None], cls_scores.shape)
+
+        flat_scores = cls_scores.reshape(-1)
+        flat_boxes = cls_boxes.reshape(-1, 6)
+        flat_labels = cls_labels.reshape(-1)
+        best_scores, best_idx = jax.lax.top_k(flat_scores, min(top_k, flat_scores.shape[0]))
+        sel = best_scores > NEG_INF / 2
+        return {
+            "boxes": jnp.where(sel[:, None], flat_boxes[best_idx], 0.0)[None],
+            "labels": jnp.where(sel, flat_labels[best_idx], 0)[None],
+            "scores": jnp.where(sel, best_scores, 0.0)[None],
+            "count": sel.sum()[None],
+        }
+
+    run.n_patches = n_patches
+    return run

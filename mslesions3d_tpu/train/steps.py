@@ -1,0 +1,126 @@
+"""jitted train / eval / predict steps.
+
+Each step is one global-view XLA program: device-side augmentation, forward,
+loss, backward, and the optimizer update fuse into a single compilation.
+Under a data mesh (parallel/mesh.py) the same functions run data-parallel —
+batches arrive batch-sharded, parameters replicated, and XLA emits the
+gradient all-reduce over ICI.
+
+Replaces the Lightning hooks (lesions3d/ssd3d.py:467-722): training_step/
+validation_step/predict_step + configure_optimizers' per-step scheduler.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..data.augment import AugmentConfig, augment_batch
+from ..models.losses import multibox_loss_from_config
+from ..models.ssd3d import SSD3D, SSD3DConfig
+from ..ops.nms import detect_objects
+
+
+def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
+                    augment: AugmentConfig | None = None,
+                    hard_negative_mining: bool = False, donate: bool = True):
+    """Returns jitted fn(state, batch, rng) -> (state, metrics)."""
+    priors_center = jnp.asarray(priors_center)
+    augment = augment or AugmentConfig()
+
+    def step(state, batch, rng):
+        images = batch["image"]
+        boxes = batch["boxes"]
+        labels = batch["labels"]
+        box_mask = batch["box_mask"]
+
+        if not augment.identity:
+            images, boxes = augment_batch(rng, images, boxes, augment)
+            # augmentation can push boxes out of range; clamp like the
+            # reference's prior clamp and keep degenerate ones masked out
+            boxes = jnp.clip(boxes, 0.0, 1.0)
+            degenerate = jnp.any(boxes[..., 3:] <= boxes[..., :3], axis=-1)
+            box_mask = box_mask & ~degenerate
+
+        def loss_fn(params):
+            (locs, scores), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            conf_loss, loc_loss = multibox_loss_from_config(
+                config, locs, scores, boxes, labels, box_mask, priors_center,
+                hard_negative_mining=hard_negative_mining,
+            )
+            total = conf_loss + config.alpha * loc_loss
+            return total, (conf_loss, loc_loss, mutated["batch_stats"])
+
+        (total, (conf_loss, loc_loss, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = {
+            "total_loss": total,
+            "conf_loss": conf_loss,
+            "loc_loss": loc_loss,
+            "n_positives": (box_mask.sum()).astype(jnp.float32),
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
+                   with_detections: bool = True):
+    """Returns jitted fn(state, batch) -> metrics (+ padded detections)."""
+    priors_center = jnp.asarray(priors_center)
+
+    def step(state, batch):
+        (locs, scores) = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        conf_loss, loc_loss = multibox_loss_from_config(
+            config, locs, scores, batch["boxes"], batch["labels"],
+            batch["box_mask"], priors_center, batch_mask=batch["batch_mask"],
+        )
+        out = {
+            "total_loss": conf_loss + config.alpha * loc_loss,
+            "conf_loss": conf_loss,
+            "loc_loss": loc_loss,
+        }
+        if with_detections:
+            out["detections"] = detect_objects(
+                locs, scores, priors_center,
+                n_classes=config.n_classes,
+                min_score=config.min_score,
+                max_overlap=config.max_overlap,
+                top_k=config.top_k,
+            )
+        return out
+
+    return jax.jit(step)
+
+
+def make_predict_step(config: SSD3DConfig, model: SSD3D, priors_center,
+                      min_score=None, max_overlap=None, top_k=None):
+    """Returns jitted fn(state, images) -> padded detections (ssd3d.py:692-702)."""
+    priors_center = jnp.asarray(priors_center)
+
+    def step(state, images):
+        locs, scores = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False,
+        )
+        return detect_objects(
+            locs, scores, priors_center,
+            n_classes=config.n_classes,
+            min_score=config.min_score if min_score is None else min_score,
+            max_overlap=config.max_overlap if max_overlap is None else max_overlap,
+            top_k=config.top_k if top_k is None else top_k,
+        )
+
+    return jax.jit(step)

@@ -1,0 +1,214 @@
+"""Training runtime tests: schedule parity, optimizer groups, step mechanics,
+checkpointing, and a tiny end-to-end Trainer.fit on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mslesions3d_tpu.data import SyntheticDataModule, generate_dataset
+from mslesions3d_tpu.data.augment import AugmentConfig
+from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+from mslesions3d_tpu.train import (
+    CheckpointManager,
+    Trainer,
+    TrainerConfig,
+    cosine_annealing_schedule,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from mslesions3d_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from mslesions3d_tpu.train.state import make_optimizer
+
+
+def test_cosine_schedule_matches_torch():
+    """Per-step CosineAnnealingLR(T_max=40) parity incl. past-T_max periodicity."""
+    lr = 1e-3
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=40)
+    schedule = cosine_annealing_schedule(lr, 40)
+
+    torch_lrs = []
+    for _ in range(100):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sch.step()
+    ours = [float(schedule(t)) for t in range(100)]
+    np.testing.assert_allclose(ours, torch_lrs, rtol=1e-5, atol=1e-9)
+
+
+def test_bias_gets_double_lr():
+    params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    tx, _ = make_optimizer(1e-2, scheduler="none", weight_decay=0.0)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    kernel_step = float(jnp.abs(updates["layer"]["kernel"]).mean())
+    bias_step = float(jnp.abs(updates["layer"]["bias"]).mean())
+    np.testing.assert_allclose(bias_step / kernel_step, 2.0, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=2,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    return cfg, model, priors, state
+
+
+def _fake_batch(cfg, batch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    d = cfg.input_size[0]
+    images = rng.normal(0, 1, (batch, d, d, d, 1)).astype(np.float32)
+    boxes = np.zeros((batch, 4, 6), np.float32)
+    labels = np.zeros((batch, 4), np.int32)
+    mask = np.zeros((batch, 4), bool)
+    for b in range(batch):
+        lo = rng.uniform(0.1, 0.4, 3)
+        boxes[b, 0] = np.concatenate([lo, lo + 0.4])
+        labels[b, 0] = 1
+        mask[b, 0] = True
+        # paint the object so there's signal
+        vox = (boxes[b, 0] * (d,) * 2).astype(int)
+        images[b, vox[0]:vox[3], vox[1]:vox[4], vox[2]:vox[5], 0] += 3.0
+    return {
+        "image": images, "boxes": boxes, "labels": labels,
+        "box_mask": mask, "batch_mask": np.ones(batch, bool),
+    }
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    cfg, model, priors, state = tiny_setup
+    step = make_train_step(cfg, model, priors, donate=False)
+    batch = _fake_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_step_with_augmentation_runs(tiny_setup):
+    cfg, model, priors, state = tiny_setup
+    aug = AugmentConfig(flip_axes=(0, 1, 2), rot90_planes=((1, 2),), affine_prob=0.5,
+                        shift_intensity=0.1, scale_intensity=0.1)
+    step = make_train_step(cfg, model, priors, augment=aug, donate=False)
+    state, m = step(state, _fake_batch(cfg), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_eval_step_masks_padded_rows(tiny_setup):
+    cfg, model, priors, state = tiny_setup
+    ev = make_eval_step(cfg, model, priors)
+    batch = _fake_batch(cfg)
+    full = ev(state, batch)
+
+    # duplicate with one padded (masked) row of garbage
+    batch2 = {k: np.copy(v) for k, v in batch.items()}
+    batch2["image"][1] = 999.0
+    batch2["boxes"][1] = 0
+    batch2["box_mask"][1] = False
+    batch2["batch_mask"][1] = False
+    masked = ev(state, batch2)
+    assert np.isfinite(float(masked["total_loss"]))
+    # the masked row contributes nothing to loc loss
+    batch3 = {k: np.copy(v) for k, v in batch2.items()}
+    batch3["image"][1] = -999.0
+    masked2 = ev(state, batch3)
+    np.testing.assert_allclose(
+        float(masked["loc_loss"]), float(masked2["loc_loss"]), rtol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    cfg, model, priors, state = tiny_setup
+    save_checkpoint(tmp_path / "ck", state, cfg, {"avg_val_loss": 1.23})
+    cfg2, state2, meta = load_checkpoint(tmp_path / "ck", state_template=state)
+    assert cfg2 == cfg
+    assert meta["metrics"]["avg_val_loss"] == pytest.approx(1.23)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_topk_retention(tiny_setup, tmp_path):
+    cfg, model, priors, state = tiny_setup
+    mgr = CheckpointManager(tmp_path, monitor="avg_val_loss", mode="min", save_top_k=2)
+    for epoch, val in enumerate([3.0, 1.0, 2.0, 0.5]):
+        mgr.save(state, cfg, {"avg_val_loss": val}, epoch)
+    kept = sorted(p.name for p in tmp_path.glob("checkpoint-*"))
+    assert len(kept) == 2
+    assert any("0.5000" in k for k in kept)
+    assert any("1.0000" in k for k in kept)
+    assert "0.5000" in mgr.best.name
+
+    # index restore from disk
+    mgr2 = CheckpointManager(tmp_path, monitor="avg_val_loss", mode="min", save_top_k=2)
+    assert "0.5000" in mgr2.best.name
+
+
+def test_data_parallel_matches_single_device(tiny_setup):
+    """Same global batch through a sharded step == single-device step."""
+    from mslesions3d_tpu.parallel import make_mesh, shard_batch
+
+    cfg, model, priors, state = tiny_setup
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    step = make_train_step(cfg, model, priors, donate=False)
+    batch = _fake_batch(cfg, batch=8)
+    rng = jax.random.PRNGKey(3)
+
+    _, m_single = step(state, batch, rng)
+
+    mesh = make_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    _, m_dp = step(state, sharded, rng)
+    np.testing.assert_allclose(
+        float(m_single["total_loss"]), float(m_dp["total_loss"]), rtol=1e-4
+    )
+
+
+def test_trainer_fit_end_to_end(tmp_path):
+    """Tiny synthetic run: loss decreases, checkpoints + metrics written."""
+    root = generate_dataset(
+        tmp_path / "data", num_images=6, n_classes=1, image_size=(24, 24, 24),
+        object_size=(8, 12), num_objects=(1, 3), seed=0, subdir="ds",
+    )
+    dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2, max_objects=8)
+    dm.setup("fit")
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(24, 24, 24),
+        width_mult=0.25, lr=3e-3, threshold=[0.1, 0.2], batch_size=2,
+        min_score=0.2,
+    )
+    tcfg = TrainerConfig(
+        logdir=str(tmp_path / "logs"), experiment_name="tiny", max_epochs=3,
+        max_steps=100, compute_metric_every_n_epochs=1, early_stopping=False,
+        verbose=False,
+    )
+    state, result = Trainer(tcfg).fit(cfg, dm)
+
+    hist = result["history"]
+    assert len(hist) == 3
+    assert np.isfinite([h["avg_val_loss"] for h in hist]).all()
+    assert "mAP/validation_IoU_0.1" in hist[0]
+    assert (tmp_path / "logs" / "tiny" / "metrics.jsonl").exists()
+    assert result["best_checkpoint"] is not None
+
+    # resume from the best checkpoint
+    tcfg2 = TrainerConfig(
+        logdir=str(tmp_path / "logs"), experiment_name="tiny-resume", max_epochs=1,
+        max_steps=100, early_stopping=False, verbose=False,
+    )
+    state2, result2 = Trainer(tcfg2).fit(cfg, dm, resume=result["best_checkpoint"])
+    assert int(state2.step) > 0
