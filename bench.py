@@ -12,9 +12,18 @@ vs_baseline is against the driver's north-star target of 50 volumes/sec/chip
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: first-compile of the 96^3 tower through the
+# axon remote-compile tunnel is minutes; repeat bench runs hit the cache.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
