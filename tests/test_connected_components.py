@@ -1,0 +1,94 @@
+"""Device CC labeling parity vs scipy + host seg->boxes pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import ndimage
+
+from mslesions3d_tpu.data.boxes_from_seg import boxes_from_segmentation
+from mslesions3d_tpu.ops.connected_components import (
+    boxes_from_segmentation_device,
+    compact_device_boxes,
+    component_boxes,
+    connected_components_3d,
+)
+
+
+def random_blobs(shape=(24, 24, 24), n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    seg = np.zeros(shape, np.float32)
+    for _ in range(n):
+        size = rng.integers(3, 7)
+        lo = [rng.integers(0, s - size) for s in shape]
+        seg[lo[0]:lo[0]+size, lo[1]:lo[1]+size, lo[2]:lo[2]+size] = 1
+    return seg
+
+
+def test_cc_matches_scipy_component_count():
+    for seed in range(4):
+        seg = random_blobs(seed=seed)
+        labels = np.asarray(connected_components_3d(jnp.asarray(seg > 0)))
+        ours = len(np.unique(labels[labels != np.iinfo(np.int32).max]))
+        _, scipy_n = ndimage.label(seg)
+        assert ours == scipy_n, f"seed {seed}: {ours} != {scipy_n}"
+
+
+def test_cc_same_partition_as_scipy():
+    seg = random_blobs(seed=7, n=4)
+    ours = np.asarray(connected_components_3d(jnp.asarray(seg > 0)))
+    theirs, _ = ndimage.label(seg)
+    # same partition: bijection between label sets on foreground voxels
+    fg = seg > 0
+    pairs = set(zip(ours[fg].tolist(), theirs[fg].tolist()))
+    assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+
+
+def test_cc_snake_shape():
+    """Non-convex component: an L/U-shaped snake stays one component."""
+    seg = np.zeros((16, 16, 16), np.float32)
+    seg[2:12, 2:4, 2:4] = 1
+    seg[10:12, 2:10, 2:4] = 1
+    seg[10:12, 8:10, 2:12] = 1
+    labels = np.asarray(connected_components_3d(jnp.asarray(seg > 0)))
+    assert len(np.unique(labels[labels != np.iinfo(np.int32).max])) == 1
+
+
+def test_diagonal_not_connected():
+    """6-connectivity: corner-touching voxels are separate components."""
+    seg = np.zeros((8, 8, 8), bool)
+    seg[2, 2, 2] = True
+    seg[3, 3, 3] = True
+    labels = np.asarray(connected_components_3d(jnp.asarray(seg)))
+    assert len(np.unique(labels[labels != np.iinfo(np.int32).max])) == 2
+
+
+def test_component_boxes_match_host_pipeline():
+    seg = random_blobs(seed=3, n=3, shape=(20, 20, 20))
+    host_boxes, host_labels = boxes_from_segmentation(seg, "binary")
+
+    labels = connected_components_3d(jnp.asarray(seg > 0))
+    boxes, valid = component_boxes(labels, max_objects=8)
+    dev_boxes = np.asarray(boxes)[np.asarray(valid)]
+
+    assert dev_boxes.shape == host_boxes.shape
+    np.testing.assert_allclose(
+        np.sort(dev_boxes, axis=0), np.sort(host_boxes, axis=0), atol=1e-6
+    )
+
+
+def test_device_classes_mode():
+    seg = np.zeros((20, 20, 20), np.float32)
+    seg[2:8, 2:8, 2:8] = 1
+    seg[12:18, 12:18, 12:18] = 2
+    boxes, labels, valid = boxes_from_segmentation_device(jnp.asarray(seg), n_classes=2)
+    b, l = compact_device_boxes(boxes, labels, valid)
+    assert sorted(l.tolist()) == [1, 2]
+
+    host_b, host_l = boxes_from_segmentation(seg, "classes", n_classes=2)
+    order_d, order_h = np.argsort(l), np.argsort(host_l)
+    np.testing.assert_allclose(b[order_d], host_b[order_h], atol=1e-6)
+
+
+def test_empty_mask():
+    labels = connected_components_3d(jnp.zeros((8, 8, 8), bool))
+    boxes, valid = component_boxes(labels, max_objects=4)
+    assert not np.asarray(valid).any()
