@@ -75,7 +75,7 @@ def measure(batch: int, iters: int = 20) -> float:
 def main():
     best = 0.0
     best_batch = 0
-    for batch in (1, 128, 256):
+    for batch in (1, 64, 128):
         try:
             vps = measure(batch)
         except Exception as e:  # OOM at large batch: keep the best so far

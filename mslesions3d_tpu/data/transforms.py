@@ -56,7 +56,9 @@ def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
     def apply(vol):
         if vol is None:
             return None
-        v = np.transpose(vol, perm)
+        # spatial perm; trailing (channel) axes pass through untouched
+        full_perm = list(perm) + list(range(3, vol.ndim))
+        v = np.transpose(vol, full_perm)
         for ax, f in enumerate(flips):
             if f:
                 v = np.flip(v, axis=ax)
@@ -88,7 +90,8 @@ def t_spacing(sample, pixdim=(1.0, 1.0, 1.0), mode=("bilinear", "nearest")):
     if np.allclose(zoom, 1.0):
         return sample
     orders = {"bilinear": 1, "nearest": 0}
-    sample["img"] = ndimage.zoom(sample["img"], zoom, order=orders[mode[0]])
+    img_zoom = list(zoom) + [1.0] * (sample["img"].ndim - 3)
+    sample["img"] = ndimage.zoom(sample["img"], img_zoom, order=orders[mode[0]])
     if sample.get("seg") is not None:
         sample["seg"] = ndimage.zoom(sample["seg"], zoom, order=orders[mode[1]])
     sample["pixdim"] = tuple(target)
@@ -108,6 +111,7 @@ def t_orientation(sample, axcodes="LPI"):
 def t_crop_foreground(sample, margin=5, source_key="img"):
     """Crop to the nonzero bounding box of source_key plus margin (datasets.py:203)."""
     src = sample[source_key]
+    src = src if src.ndim == 3 else src.max(axis=tuple(range(3, src.ndim)))
     nz = np.nonzero(src > 0)
     if len(nz[0]) == 0:
         return sample

@@ -32,6 +32,63 @@ def _triple(v) -> tuple[int, int, int]:
     return tuple(v)
 
 
+class ConvParams(nn.Module):
+    """Bare conv-kernel parameter holder (variable path <name>/kernel)."""
+
+    shape: tuple
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class BatchNorm3d(nn.Module):
+    """BatchNorm over (N, D, H, W) with flax-compatible variable layout.
+
+    Same params (scale, bias) / batch_stats (mean, var) tree and numerics as
+    flax.linen.BatchNorm(momentum=0.9, eps=1e-5), plus a ``folded()``
+    accessor returning the inference affine for fused kernels.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        self.var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+    def __call__(self, x, train: bool = False):
+        dtype_in = x.dtype
+        x32 = x.astype(jnp.float32)
+        if train:
+            batch_mean = jnp.mean(x32, axis=(0, 1, 2, 3))
+            batch_var = jnp.var(x32, axis=(0, 1, 2, 3))
+            if not self.is_initializing():
+                self.mean.value = (
+                    self.momentum * self.mean.value + (1 - self.momentum) * batch_mean
+                )
+                self.var.value = (
+                    self.momentum * self.var.value + (1 - self.momentum) * batch_var
+                )
+            mean, var = batch_mean, batch_var
+        else:
+            mean, var = self.mean.value, self.var.value
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * self.scale + self.bias
+        return y.astype(dtype_in)
+
+    def folded(self):
+        """(gamma, beta) of the inference-time affine (running stats)."""
+        gamma = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        beta = self.bias - self.mean.value * gamma
+        return gamma, beta
+
+
 class ConvBNReLU(nn.Module):
     """Conv3d(k3, stride, p1, no bias) + BatchNorm + ReLU.
 
@@ -67,30 +124,52 @@ class DepthwiseSeparableBlock(nn.Module):
     Parity: reference ``Block`` (lesions3d/mobilenet.py:34-49). The NaN guard
     there is a debugging aid, not behavior; numerical health is asserted in
     tests instead.
+
+    ``use_pallas`` switches the depthwise+BN+ReLU half to the fused Pallas
+    TPU kernel at inference time (stride-1, lane-aligned channels only; the
+    variable tree is identical either way, so the flag can be flipped on any
+    checkpoint).
     """
 
     features: int
     strides: Sequence[int] | int = 1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..kernels.depthwise import fused_depthwise_bn_relu
+
         in_features = x.shape[-1]
-        x = nn.Conv(
-            in_features,
-            kernel_size=(3, 3, 3),
-            strides=_triple(self.strides),
-            padding="SAME",
-            feature_group_count=in_features,  # depthwise
-            use_bias=False,
-            dtype=self.dtype,
-            name="dw_conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="dw_bn",
-        )(x)
-        x = nn.relu(x).astype(self.dtype)
+        strides = _triple(self.strides)
+        dw_conv = ConvParams((3, 3, 3, 1, in_features), name="dw_conv")
+        dw_bn = BatchNorm3d(in_features, name="dw_bn")
+
+        pallas_eligible = (
+            self.use_pallas
+            and not train
+            and strides == (1, 1, 1)
+            and in_features % 128 == 0
+        )
+        if pallas_eligible:
+            gamma, beta = dw_bn.folded()
+            x = fused_depthwise_bn_relu(
+                x.astype(self.dtype),
+                dw_conv.kernel.reshape(3, 3, 3, in_features).astype(self.dtype),
+                gamma, beta,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                dw_conv.kernel.astype(self.dtype),
+                window_strides=strides,
+                padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=in_features,
+            )
+            x = dw_bn(x, train=train)
+            x = nn.relu(x).astype(self.dtype)
         x = nn.Conv(
             self.features,
             kernel_size=(1, 1, 1),

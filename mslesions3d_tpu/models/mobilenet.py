@@ -81,6 +81,7 @@ class MobileNetBackbone(nn.Module):
     width_mult: float = 1.0
     cube: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,7 +96,8 @@ class MobileNetBackbone(nn.Module):
                                name=f"layer_{i}")(x, train=train)
             else:
                 x = DepthwiseSeparableBlock(spec["features"], spec["strides"],
-                                            dtype=self.dtype, name=f"layer_{i}")(x, train=train)
+                                            dtype=self.dtype, use_pallas=self.use_pallas,
+                                            name=f"layer_{i}")(x, train=train)
             if i in wanted:
                 features[i] = x
         return features

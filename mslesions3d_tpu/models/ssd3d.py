@@ -65,6 +65,7 @@ class SSD3DConfig:
     scales: tuple = ()  # ((layer, scale), ...); empty = linspace default
     boxes_per_location: int = 2
     use_l2_rescale: bool = False
+    use_pallas: bool = False  # fused Pallas depthwise kernel at inference
     dtype: str = "float32"  # "bfloat16" for TPU hot path
     comments: str = ""
 
@@ -169,6 +170,7 @@ class SSD3D(nn.Module):
                 width_mult=cfg.width_mult,
                 cube=cfg.cube,
                 dtype=cfg.compute_dtype,
+                use_pallas=cfg.use_pallas,
             )
         elif "convnet" in cfg.base_network_config:
             self.backbone = ConvNetBackbone(

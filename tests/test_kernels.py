@@ -1,0 +1,77 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled parity is exercised
+on TPU, where the same kernel measured exact parity vs the XLA path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mslesions3d_tpu.kernels.depthwise import (
+    depthwise_bn_relu_reference,
+    fold_bn,
+    fused_depthwise_bn_relu,
+)
+from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+
+
+def random_inputs(shape=(2, 6, 8, 8, 128), seed=0):
+    rng = np.random.default_rng(seed)
+    b, d, h, w, c = shape
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    weights = jnp.asarray(rng.normal(size=(3, 3, 3, c)).astype(np.float32))
+    gamma, beta = fold_bn(
+        jnp.asarray(np.abs(rng.normal(size=c)) + 0.5, jnp.float32),
+        jnp.asarray(rng.normal(size=c), jnp.float32),
+        jnp.asarray(rng.normal(size=c), jnp.float32),
+        jnp.asarray(np.abs(rng.normal(size=c)) + 0.5, jnp.float32),
+    )
+    return x, weights, gamma, beta
+
+
+def test_fused_depthwise_matches_xla():
+    x, w, gamma, beta = random_inputs()
+    ref = depthwise_bn_relu_reference(x, w, gamma, beta)
+    out = fused_depthwise_bn_relu(x, w, gamma, beta, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_depthwise_depth_edges():
+    """Depth-1 and depth-2 volumes stress the clamped-neighbor masking."""
+    for depth in (1, 2, 3):
+        x, w, gamma, beta = random_inputs((1, depth, 8, 8, 128), seed=depth)
+        ref = depthwise_bn_relu_reference(x, w, gamma, beta)
+        out = fused_depthwise_bn_relu(x, w, gamma, beta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4,
+            err_msg=f"depth={depth}",
+        )
+
+
+def test_fused_depthwise_bf16():
+    x, w, gamma, beta = random_inputs(seed=5)
+    x16, w16 = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    ref = depthwise_bn_relu_reference(x16, w16, gamma, beta)
+    out = fused_depthwise_bn_relu(x16, w16, gamma, beta, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05
+    )
+
+
+def test_model_pallas_flag_equivalence():
+    """use_pallas on/off produce the same detections for the same variables."""
+    base = dict(n_classes=2, input_channels=1, input_size=(16, 16, 16), width_mult=1.0)
+    cfg_off = SSD3DConfig.create(**base)
+    cfg_on = SSD3DConfig.create(**base, use_pallas=True)
+
+    model_off = SSD3D(cfg_off)
+    model_on = SSD3D(cfg_on)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    variables = model_off.init(jax.random.PRNGKey(0), x, train=False)
+
+    locs_off, scores_off = model_off.apply(variables, x, train=False)
+    locs_on, scores_on = model_on.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(locs_on), np.asarray(locs_off), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_on), np.asarray(scores_off), rtol=1e-4, atol=1e-4
+    )
