@@ -15,7 +15,7 @@ import json
 import numpy as np
 
 from ..data.augment import AugmentConfig
-from ..data.datasets import SyntheticDataModule
+from ..data.datasets import LesionsDataModule, SyntheticDataModule
 from ..models.ssd3d import SSD3DConfig
 from ..train.loop import Trainer, TrainerConfig
 
@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-es", "--early_stopping", type=int, default=1)
     p.add_argument("-cm", "--compute_metric_every_n_epochs", type=int, default=1)
     p.add_argument("-coms", "--comments", type=str, default="")
+    # dataset family: synthetic cubes (reference example()) or BIDS MS data
+    # (reference train_lesions(), train.py:191-238)
+    p.add_argument("-dt", "--dataset_type", type=str, default="synthetic",
+                   choices=["synthetic", "lesions"])
+    p.add_argument("--centers", type=str, nargs="*",
+                   default=["CHUV_RIM_OK", "BASEL_INSIDER_OK"])
+    p.add_argument("--input_images", type=str, nargs="*", default=["FLAIR"],
+                   help="input sequences; several stack as channels")
+    p.add_argument("--segmentation", type=str, default="labeled_lesions")
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
@@ -86,17 +97,35 @@ def main(argv=None):
 
     np.random.seed(args.seed)
 
-    dataset = SyntheticDataModule(
-        data_dir=args.dataset_path,
-        dataset_name=args.dataset_name,
-        n_classes=args.n_classes,
-        subject=args.subject,
-        percentage=args.percentage,
-        batch_size=args.batch_size,
-        random_state=args.seed,
-        cache=True,  # in-memory cache; args.cache kept for flag parity
-        max_objects=args.max_objects,
-    )
+    if args.dataset_type == "lesions":
+        dataset = LesionsDataModule(
+            data_dir=args.dataset_path,
+            centers=tuple(args.centers),
+            input_images=tuple(args.input_images),
+            segmentation=args.segmentation,
+            fold=args.fold,
+            subject=args.subject,
+            percentage=args.percentage,
+            batch_size=args.batch_size,
+            random_state=args.seed,
+            cache=bool(args.cache),
+            max_objects=args.max_objects,
+            spatial_size=tuple(args.spatial_size),
+        )
+        input_channels = len(args.input_images)
+    else:
+        dataset = SyntheticDataModule(
+            data_dir=args.dataset_path,
+            dataset_name=args.dataset_name,
+            n_classes=args.n_classes,
+            subject=args.subject,
+            percentage=args.percentage,
+            batch_size=args.batch_size,
+            random_state=args.seed,
+            cache=True,  # in-memory cache; args.cache kept for flag parity
+            max_objects=args.max_objects,
+        )
+        input_channels = 1
     dataset.setup("fit")
     input_size = dataset.get_sample(dataset.trainsubs[0])["img"].shape[:3]
     print(f"[train] {len(dataset.trainsubs)} train / {len(dataset.testsubs)} val "
@@ -104,7 +133,7 @@ def main(argv=None):
 
     config = SSD3DConfig.create(
         n_classes=args.n_classes + 1,
-        input_channels=1,
+        input_channels=input_channels,
         input_size=tuple(input_size),
         lr=args.learning_rate,
         width_mult=args.width_mult,

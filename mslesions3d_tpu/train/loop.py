@@ -53,6 +53,7 @@ class TrainerConfig:
     data_parallel: bool = False  # shard batches over all visible devices
     hard_negative_mining: bool = False
     log_every_n_steps: int = 1
+    max_nonfinite_streak: int = 25  # abort after this many consecutive NaN steps
     verbose: bool = True
 
 
@@ -133,6 +134,7 @@ class Trainer:
         epoch = start_epoch
         done = False
         history = []
+        nonfinite_streak = 0
 
         while not done:
             if cfg.max_epochs is not None and epoch >= cfg.max_epochs:
@@ -153,6 +155,15 @@ class Trainer:
                 state, m = train_step(state, batch, step_rng)
                 step += 1
                 train_losses.append(m)
+                if float(m.get("nonfinite", 0.0)) > 0:
+                    nonfinite_streak += 1
+                    if nonfinite_streak >= cfg.max_nonfinite_streak:
+                        raise FloatingPointError(
+                            f"{nonfinite_streak} consecutive non-finite losses at "
+                            f"step {step} — aborting (try a lower learning rate)"
+                        )
+                else:
+                    nonfinite_streak = 0
                 if step % cfg.log_every_n_steps == 0:
                     logger.log(
                         {

@@ -25,8 +25,16 @@ from ..ops.nms import detect_objects
 
 def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     augment: AugmentConfig | None = None,
-                    hard_negative_mining: bool = False, donate: bool = True):
-    """Returns jitted fn(state, batch, rng) -> (state, metrics)."""
+                    hard_negative_mining: bool = False, donate: bool = True,
+                    skip_nonfinite: bool = True):
+    """Returns jitted fn(state, batch, rng) -> (state, metrics).
+
+    Failure detection (SURVEY.md §5: the reference's only failure handling is
+    NaN guards that raise and kill the run, ssd3d.py:258-261, 938-940): with
+    ``skip_nonfinite`` a non-finite loss skips the parameter/optimizer update
+    for that step and reports metrics["nonfinite"]=1; the trainer aborts
+    after a configurable streak instead of dying on the first blip.
+    """
     priors_center = jnp.asarray(priors_center)
     augment = augment or AugmentConfig()
 
@@ -61,12 +69,24 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
         (total, (conf_loss, loc_loss, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        updated = state.apply_gradients(grads, new_batch_stats=new_stats)
+        if skip_nonfinite:
+            finite = jnp.isfinite(total)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old)
+                if hasattr(new, "dtype") else new,
+                updated,
+                state.replace(step=state.step + 1),
+            )
+        else:
+            finite = jnp.asarray(True)
+            new_state = updated
         metrics = {
             "total_loss": total,
             "conf_loss": conf_loss,
             "loc_loss": loc_loss,
             "n_positives": (box_mask.sum()).astype(jnp.float32),
+            "nonfinite": (~finite).astype(jnp.float32),
         }
         return new_state, metrics
 

@@ -1,0 +1,74 @@
+"""CLI smoke tests: train/predict/eval mains over tiny datasets (CPU)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mslesions3d_tpu.cli import eval as eval_cli
+from mslesions3d_tpu.cli import predict as predict_cli
+from mslesions3d_tpu.cli import train as train_cli
+from mslesions3d_tpu.data import generate_dataset
+from tests.test_lesions_datamodule import make_bids_tree
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    generate_dataset(
+        root, num_images=6, n_classes=1, image_size=(24, 24, 24),
+        object_size=(6, 10), num_objects=(1, 3), seed=0,
+    )
+    return root
+
+
+def test_train_predict_eval_cli_roundtrip(tiny_dataset, tmp_path):
+    logdir = tmp_path / "logs"
+    result = train_cli.main([
+        "-d", str(tiny_dataset), "-b", "2", "-lr", "0.003", "-th", "0.1", "0.2",
+        "-wm", "0.25", "-ld", str(logdir), "-en", "cli", "-me", "2", "-es", "0",
+        "-a", "flip", "--max_objects", "8",
+    ])
+    best = result["best_checkpoint"]
+    assert best and (tmp_path / "logs").exists()
+
+    out = tmp_path / "preds"
+    predict_cli.main([
+        "-d", str(tiny_dataset), "-m", best, "-o", str(out), "-ps", "train",
+        "-sc", "0.0", "-k", "10",
+    ])
+    pred_dir = out / "train_set" / "min_score_0.0"
+    jsons = list(pred_dir.glob("sub-*_preds.json"))
+    assert len(jsons) == 4  # 80% of 6 subjects
+    assert (pred_dir / "aa_metrics_per_subject_(min_IoU=0.5).json").exists()
+    # per-subject JSON schema: {id: [frac_box, voxel_box, label, score]}
+    infos = json.loads(jsons[0].read_text())
+    for key, (frac, vox, label, score) in infos.items():
+        assert len(frac) == 6 and len(vox) == 6
+        assert isinstance(label, int) and 0.0 <= score <= 1.0
+
+    eval_cli.main([
+        "-d", str(tiny_dataset), "-pd", str(out), "-ps", "train",
+        "-sc", "0.2", "-iou", "0.1",
+    ])
+    metrics_file = pred_dir / "metrics_(min_IoU=0.1_min_score=0.2).json"
+    metrics = json.loads(metrics_file.read_text())
+    assert {"mAP", "precision", "recall", "f1_score"} <= set(metrics)
+
+
+def test_train_cli_lesions_dataset(tmp_path):
+    root = make_bids_tree(tmp_path / "bids", subjects=("001", "002", "003"))
+    result = train_cli.main([
+        "-dt", "lesions", "-d", str(root), "--centers", "CHUV_RIM_OK",
+        "--spatial_size", "40", "44", "44", "-b", "2", "-wm", "0.25",
+        "-lr", "0.001", "-th", "0.3", "-ld", str(tmp_path / "logs"),
+        "-en", "lesions", "-me", "1", "-es", "0", "-a",
+    ])
+    assert np.isfinite(result["best_val_loss"])
+
+
+def test_train_cli_bad_layers_arg(tiny_dataset, tmp_path):
+    with pytest.raises(SystemExit):
+        train_cli.main([
+            "-d", str(tiny_dataset), "-pl", "three five", "-ld", str(tmp_path),
+        ])
