@@ -81,12 +81,19 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
         else:
             finite = jnp.asarray(True)
             new_state = updated
+        # global gradient norm: the per-step observability analog of the
+        # reference's every-25-steps gradient histograms (ssd3d.py:729-738)
+        grad_norm = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads))
+        )
         metrics = {
             "total_loss": total,
             "conf_loss": conf_loss,
             "loc_loss": loc_loss,
             "n_positives": (box_mask.sum()).astype(jnp.float32),
             "nonfinite": (~finite).astype(jnp.float32),
+            "grad_norm": grad_norm,
         }
         return new_state, metrics
 

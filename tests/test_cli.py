@@ -72,3 +72,16 @@ def test_train_cli_bad_layers_arg(tiny_dataset, tmp_path):
         train_cli.main([
             "-d", str(tiny_dataset), "-pl", "three five", "-ld", str(tmp_path),
         ])
+
+
+def test_tune_lr_cli(tiny_dataset, tmp_path):
+    from mslesions3d_tpu.cli import tune_lr as tune_cli
+
+    out = tmp_path / "lr.json"
+    suggestion = tune_cli.main([
+        "-d", str(tiny_dataset), "-b", "2", "-wm", "0.25", "-n", "15",
+        "-o", str(out),
+    ])
+    assert 1e-7 < suggestion < 1.0
+    data = json.loads(out.read_text())
+    assert len(data["history"]) >= 3
