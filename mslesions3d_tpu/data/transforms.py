@@ -90,6 +90,7 @@ def t_spacing(sample, pixdim=(1.0, 1.0, 1.0), mode=("bilinear", "nearest")):
     if np.allclose(zoom, 1.0):
         return sample
     orders = {"bilinear": 1, "nearest": 0}
+    sample.setdefault("transform_meta", []).append({"op": "zoom", "zoom": list(zoom)})
     img_zoom = list(zoom) + [1.0] * (sample["img"].ndim - 3)
     sample["img"] = ndimage.zoom(sample["img"], img_zoom, order=orders[mode[0]])
     if sample.get("seg") is not None:
@@ -109,7 +110,12 @@ def t_orientation(sample, axcodes="LPI"):
 
 
 def t_crop_foreground(sample, margin=5, source_key="img"):
-    """Crop to the nonzero bounding box of source_key plus margin (datasets.py:203)."""
+    """Crop to the nonzero bounding box of source_key plus margin (datasets.py:203).
+
+    Records the crop offset in sample["transform_meta"] so predictions can be
+    inverse-mapped to the original space (reference predict.py:284-304 uses
+    MONAI inverse transforms for this).
+    """
     src = sample[source_key]
     src = src if src.ndim == 3 else src.max(axis=tuple(range(3, src.ndim)))
     nz = np.nonzero(src > 0)
@@ -118,6 +124,9 @@ def t_crop_foreground(sample, margin=5, source_key="img"):
     lo = [max(int(n.min()) - margin, 0) for n in nz]
     hi = [min(int(n.max()) + 1 + margin, s) for n, s in zip(nz, src.shape)]
     sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+    sample.setdefault("transform_meta", []).append(
+        {"op": "crop", "offset": lo, "orig_shape": list(src.shape)}
+    )
     sample["img"] = sample["img"][sl]
     if sample.get("seg") is not None:
         sample["seg"] = sample["seg"][sl]
@@ -139,8 +148,21 @@ def t_normalize_intensity(sample, nonzero=True):
 
 
 def t_resize_with_pad_or_crop(sample, spatial_size, mode="replicate"):
-    """Symmetric center pad/crop to spatial_size (MONAI ResizeWithPadOrCropd)."""
+    """Symmetric center pad/crop to spatial_size (MONAI ResizeWithPadOrCropd).
+
+    Records per-axis shifts in sample["transform_meta"] for inverse mapping:
+    final_voxel = orig_voxel + shift (shift >= 0 when padding, < 0 when
+    cropping).
+    """
     pad_mode = {"replicate": "edge", "constant": "constant"}[mode]
+    shifts = []
+    for ax, target in enumerate(spatial_size):
+        cur = sample["img"].shape[ax]
+        shifts.append((target - cur) // 2 if cur < target else -((cur - target) // 2))
+    sample.setdefault("transform_meta", []).append(
+        {"op": "pad_or_crop", "shift": shifts,
+         "orig_shape": list(sample["img"].shape[:3])}
+    )
 
     def fix(vol, is_seg):
         for ax, target in enumerate(spatial_size):
@@ -201,6 +223,37 @@ HOST_TRANSFORMS = {
 def get_transform_from_name(name: str, **kwargs):
     fn = HOST_TRANSFORMS[name]
     return lambda sample: fn(sample, **kwargs)
+
+
+def inverse_map_boxes(boxes_frac: np.ndarray, final_shape, transform_meta,
+                      pixdim_zoom=None):
+    """Map fractional boxes in final (network) space back to original voxels.
+
+    Walks the recorded transform_meta backwards (pad/crop shift, foreground
+    crop offset) and finally undoes the isotropic resampling if pixdim_zoom
+    (original_spacing -> 1mm zoom factors) is given. Returns voxel-space
+    corner boxes in the ORIGINAL image grid. This is the box-level inverse of
+    the reference's MONAI inverse-transform save path (predict.py:284-304).
+    """
+    boxes = np.asarray(boxes_frac, np.float64) * np.asarray(tuple(final_shape) * 2)
+    for meta in reversed(transform_meta or []):
+        if meta["op"] == "pad_or_crop":
+            shift = np.asarray(meta["shift"], np.float64)
+            boxes[:, :3] -= shift
+            boxes[:, 3:] -= shift
+        elif meta["op"] == "crop":
+            offset = np.asarray(meta["offset"], np.float64)
+            boxes[:, :3] += offset
+            boxes[:, 3:] += offset
+        elif meta["op"] == "zoom":
+            zoom = np.asarray(meta["zoom"], np.float64)
+            boxes[:, :3] /= zoom
+            boxes[:, 3:] /= zoom
+    if pixdim_zoom is not None:
+        zoom = np.asarray(pixdim_zoom, np.float64)  # orig -> resampled factor
+        boxes[:, :3] /= zoom
+        boxes[:, 3:] /= zoom
+    return boxes
 
 
 def compose(transforms):

@@ -236,3 +236,38 @@ def test_augment_from_names():
     assert cfg.flip_axes == (0, 1, 2)
     assert len(cfg.rot90_planes) == 3
     assert cfg.affine_prob == 0.7
+
+
+def test_inverse_map_boxes_roundtrip():
+    """crop -> pad/crop -> box derivation, then inverse map recovers original voxels."""
+    from mslesions3d_tpu.data.transforms import inverse_map_boxes
+
+    img = np.zeros((30, 40, 36), np.float32)
+    img[4:26, 6:36, 5:31] = 1.0  # foreground region
+    seg = np.zeros_like(img)
+    seg[10:16, 20:26, 12:18] = 1  # object at known original voxels
+
+    s = {"img": img.copy(), "seg": seg.copy()}
+    s = t_crop_foreground(s, margin=2)
+    s = t_resize_with_pad_or_crop(s, (32, 32, 32))
+    boxes, labels = boxes_from_segmentation(s["seg"], "binary")
+    assert boxes.shape == (1, 6)
+
+    recovered = inverse_map_boxes(boxes, s["img"].shape[:3], s["transform_meta"])
+    np.testing.assert_allclose(recovered[0], [10, 20, 12, 15, 25, 17], atol=1e-6)
+
+
+def test_inverse_map_boxes_with_zoom():
+    from mslesions3d_tpu.data.transforms import inverse_map_boxes
+
+    img = np.zeros((20, 20, 20), np.float32)
+    img[:] = 1.0
+    seg = np.zeros_like(img)
+    seg[4:8, 4:8, 4:8] = 1
+    s = {"img": img, "seg": seg, "pixdim": (2.0, 1.0, 1.0)}
+    s = t_spacing(s, (1.0, 1.0, 1.0))
+    boxes, _ = boxes_from_segmentation(s["seg"], "binary")
+    recovered = inverse_map_boxes(boxes, s["img"].shape[:3], s["transform_meta"])
+    # original object spans voxels [4, 7] inclusive on each axis
+    np.testing.assert_allclose(recovered[0][:3], [4, 4, 4], atol=1.0)
+    np.testing.assert_allclose(recovered[0][3:], [7, 7, 7], atol=1.0)
