@@ -108,6 +108,9 @@ def evaluate(prediction_dir, dataset_path, model_name=None, dataset_name=None,
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset")
     p.add_argument("-dn", "--dataset_name", type=str, default=None)

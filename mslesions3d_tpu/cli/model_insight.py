@@ -75,6 +75,9 @@ def parameter_histograms(checkpoint_dir, output_dir):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("command", choices=["priors", "histograms"])
     p.add_argument("-o", "--output_dir", type=str, default="./model_insight")

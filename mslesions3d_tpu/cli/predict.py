@@ -147,6 +147,9 @@ def compute_subjects_mAP(results, gt, n_classes, min_iou, output_dir=None):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

@@ -81,6 +81,9 @@ def lr_find(config: SSD3DConfig, datamodule, lr_min=1e-6, lr_max=1.0, n_steps=60
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("-d", "--dataset_path", type=str, required=True)
     p.add_argument("-dn", "--dataset_name", type=str, default=None)
