@@ -49,6 +49,11 @@ def build_parser():
     p.add_argument("-si", "--save_images", type=int, default=1)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
+    p.add_argument("-sw", "--sliding_window", type=int, default=0,
+                   help="tile volumes larger than the model input with "
+                        "overlapping patches + on-device stitching")
+    p.add_argument("--overlap", type=float, default=0.25,
+                   help="sliding-window patch overlap fraction")
     return p
 
 
@@ -97,16 +102,41 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
 
 
 def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
-                    top_k=100, output_dir=None, save_images=True):
-    """Run detection over a subset; returns per-subject ragged results."""
+                    top_k=100, output_dir=None, save_images=True,
+                    sliding_window=False, overlap=0.25):
+    """Run detection over a subset; returns per-subject ragged results.
+
+    With ``sliding_window`` volumes are tiled into model-sized patches and
+    stitched on device (full-volume inference, new capability vs reference).
+    """
     model = SSD3D(config)
     priors = model_priors(config)
     step = make_predict_step(config, model, priors, min_score=min_score, top_k=top_k)
 
+    sw_detectors = {}
+
+    def sw_detect(image):  # (D, H, W, C)
+        from ..sliding_window import make_sliding_window_detector
+
+        shape = image.shape[:3]
+        if shape not in sw_detectors:
+            sw_detectors[shape] = make_sliding_window_detector(
+                config, shape, overlap=overlap, min_score=min_score, top_k=top_k,
+            )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return sw_detectors[shape](variables, image)
+
     results = {}
     gt = {}
     for batch in dataset.predict_batches(predict_subset):
-        det = step(state, array_batch(batch)["image"])
+        if sliding_window:
+            images = array_batch(batch)["image"]
+            dets = [sw_detect(images[i]) for i in range(images.shape[0])]
+            det = {
+                k: np.concatenate([np.asarray(d[k]) for d in dets]) for k in dets[0]
+            }
+        else:
+            det = step(state, array_batch(batch)["image"])
         det = {k: np.asarray(v) for k, v in det.items()}
         db, dl, ds = detections_to_lists(det)
         for i, subj in enumerate(batch["subjects"]):
@@ -187,6 +217,7 @@ def main(argv=None):
         results, gt = predict_dataset(
             dataset, state, config, subset, args.min_score, args.top_k,
             output_dir, bool(args.save_images),
+            sliding_window=bool(args.sliding_window), overlap=args.overlap,
         )
         for min_iou in (0.5, 0.1):
             m = compute_subjects_mAP(results, gt, config.n_classes, min_iou, output_dir)

@@ -85,3 +85,27 @@ def test_tune_lr_cli(tiny_dataset, tmp_path):
     assert 1e-7 < suggestion < 1.0
     data = json.loads(out.read_text())
     assert len(data["history"]) >= 3
+
+
+def test_predict_cli_sliding_window(tiny_dataset, tmp_path):
+    """A 16^3 model predicts over 24^3 volumes by tiling + stitching."""
+    import jax
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+    from mslesions3d_tpu.train import create_train_state
+    from mslesions3d_tpu.train.checkpoints import save_checkpoint
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, min_score=0.1, top_k=10,
+    )
+    state = create_train_state(SSD3D(cfg), cfg, jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / "ckpt", state, cfg, {"avg_val_loss": 1.0})
+
+    out = tmp_path / "sw_preds"
+    predict_cli.main([
+        "-d", str(tiny_dataset), "-m", str(ckpt), "-o", str(out),
+        "-ps", "validation", "-sc", "0.0", "-k", "10", "-sw", "1",
+    ])
+    pred_dir = out / "validation_set" / "min_score_0.0"
+    assert len(list(pred_dir.glob("sub-*_preds.json"))) == 2
