@@ -199,17 +199,33 @@ class SyntheticDataModule(_BaseDataModule):
             self.subjects_list = self.subjects_list[: int(percentage * len(self.subjects_list))]
 
     def _load_sample(self, subject):
-        img = load_nifti(self.data_dir / "images" / f"sub-{subject}_image.nii.gz")
-        seg = load_nifti(self.data_dir / "labels" / f"sub-{subject}_seg.nii.gz")
-        sample = {
-            "img": img.data.astype(np.float32),
-            "seg": seg.data,
-            "affine": img.affine,
-            "subject": subject,
-        }
-        # pipeline parity: normalize(nonzero) -> boxes ("classes" mode)
-        # (datasets.py:397-407)
-        sample = t_normalize_intensity(sample, nonzero=True)
+        img_path = self.data_dir / "images" / f"sub-{subject}_image.nii.gz"
+        seg_path = self.data_dir / "labels" / f"sub-{subject}_seg.nii.gz"
+        # native fast path: fused gzip decode + fp32 cast + nonzero
+        # normalization in C (falls back to the pure-Python loader)
+        try:
+            from ..native import load_nifti_fast
+
+            img_data, _ = load_nifti_fast(img_path, normalize=True)
+            seg_data, _ = load_nifti_fast(seg_path, normalize=False)
+            sample = {
+                "img": img_data,
+                "seg": seg_data,
+                "affine": np.eye(4),
+                "subject": subject,
+            }
+        except Exception:
+            img = load_nifti(img_path)
+            seg = load_nifti(seg_path)
+            sample = {
+                "img": img.data.astype(np.float32),
+                "seg": seg.data,
+                "affine": img.affine,
+                "subject": subject,
+            }
+            # pipeline parity: normalize(nonzero) -> boxes ("classes" mode)
+            # (datasets.py:397-407)
+            sample = t_normalize_intensity(sample, nonzero=True)
         boxes, labels = boxes_from_segmentation(
             sample["seg"], "classes", n_classes=self.n_classes
         )
