@@ -9,4 +9,9 @@ from .boxes import (
 )
 from .matching import match_priors_single, match_priors_batch
 from .nms import greedy_nms, detect_objects
+from .connected_components import (
+    connected_components_3d,
+    component_boxes,
+    boxes_from_segmentation_device,
+)
 from . import metrics

@@ -248,3 +248,32 @@ def test_multibox_loss_hard_negative_mining_reduces_conf():
         jnp.asarray(gt_mask), jnp.asarray(priors), 0.5, hard_negative_mining=True,
     )
     assert float(conf_mined) <= float(conf_all)
+
+
+def test_mobilenet_classifier():
+    """C8 parity: full MobileNet-3D classifier (avg-pool + dropout + linear)."""
+    from mslesions3d_tpu.models import MobileNetClassifier
+
+    model = MobileNetClassifier(num_classes=3, width_mult=0.25)
+    x = jnp.zeros((1, 32, 48, 48, 1))  # non-cube -> first stride (1,2,2)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 3)
+    out_t, _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(out_t)).all()
+
+
+def test_priors_per_feature_map_concat_equals_flat():
+    from mslesions3d_tpu.models.priors import priors_per_feature_map
+
+    fmap_dims = {3: (4, 4, 4), 5: (2, 2, 2)}
+    scales = {3: 0.1, 5: 0.2}
+    ars = {3: [1.0], 5: [1.0]}
+    per_map = priors_per_feature_map(fmap_dims, scales, ars, 2)
+    flat = generate_priors(fmap_dims, scales, ars, 2)
+    np.testing.assert_allclose(
+        np.concatenate([per_map[3], per_map[5]]), flat, rtol=1e-6
+    )
