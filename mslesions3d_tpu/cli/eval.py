@@ -86,19 +86,7 @@ def evaluate(prediction_dir, dataset_path, model_name=None, dataset_name=None,
     for key in ("mAP", "precision", "recall", "f1_score"):
         print(f"{key}: ", metrics[key])
 
-    metrx = {}
-    for key, value in metrics.items():
-        if isinstance(value, (int, float, str)):
-            metrx[key] = value
-        elif isinstance(value, dict):
-            metrx[key] = {
-                k: (v.tolist() if isinstance(v, np.ndarray) else v)
-                for k, v in value.items()
-            }
-        elif isinstance(value, np.ndarray):
-            metrx[key] = value.tolist()
-        else:
-            metrx[key] = value
+    metrx = metrics_lib.to_jsonable(metrics)
 
     out = prediction_dir / f"metrics_(min_IoU={min_iou}_min_score={confidence_threshold}).json"
     with open(out, "w") as f:

@@ -164,11 +164,9 @@ def compute_subjects_mAP(results, gt, n_classes, min_iou, output_dir=None):
             [db], [dl], [ds], [gb], [gl], [np.zeros(len(gl), bool)],
             n_classes=n_classes, min_overlap=min_iou, return_detail=True,
         )
-        all_metrics[subj] = {
-            k: (v.tolist() if isinstance(v, np.ndarray) else v)
-            for k, v in detail.items()
-            if k != "sorted_det_scores"
-        }
+        all_metrics[subj] = metrics_lib.to_jsonable(
+            {k: v for k, v in detail.items() if k != "sorted_det_scores"}
+        )
     if output_dir is not None:
         path = Path(output_dir) / f"aa_metrics_per_subject_(min_IoU={min_iou}).json"
         with open(path, "w") as f:
@@ -221,7 +219,12 @@ def main(argv=None):
         )
         for min_iou in (0.5, 0.1):
             m = compute_subjects_mAP(results, gt, config.n_classes, min_iou, output_dir)
-            mean_f1 = np.mean([v["f1_score"] for v in m.values()]) if m else float("nan")
+
+            def _scalar_f1(v):
+                f1 = v["f1_score"]
+                return np.mean(list(f1.values())) if isinstance(f1, dict) else f1
+
+            mean_f1 = np.mean([_scalar_f1(v) for v in m.values()]) if m else float("nan")
             print(f"[predict] subset={subset} IoU={min_iou} min_score={args.min_score} "
                   f"subjects={len(m)} mean_f1={mean_f1:.3f}")
     return 0

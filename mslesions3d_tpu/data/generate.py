@@ -92,10 +92,17 @@ def generate_dataset(
     box_noise: bool = False,
     seed: int = 0,
     num_processes: int = 1,
-    subdir: str = "multiple_objects/one_class",
+    subdir: str | None = None,
     legacy_shell_bug: bool = False,
 ):
-    """Fan out image generation over a process pool (gen:114-124)."""
+    """Fan out image generation over a process pool (gen:114-124).
+
+    Default subdir follows n_classes (multiple_objects/{one,double}_class) —
+    the reference hardcodes one_class even for two classes (gen:51-52), which
+    would strand a two-class dataset where no datamodule looks for it.
+    """
+    if subdir is None:
+        subdir = "multiple_objects/" + ("one_class" if n_classes == 1 else "double_class")
     root = Path(output_dir) / subdir
     image_dir = root / "images"
     seg_dir = root / "labels"

@@ -17,6 +17,20 @@ import numpy as np
 from ..utils.labels import rev_label_map
 
 
+def to_jsonable(value):
+    """Recursively convert a metrics detail structure to JSON-serializable
+    types (numpy arrays/scalars -> lists/floats; dict keys -> str)."""
+    if isinstance(value, dict):
+        return {str(k): to_jsonable(v) for k, v in value.items()}
+    if isinstance(value, np.ndarray):
+        return value.tolist()
+    if isinstance(value, (np.floating, np.integer)):
+        return value.item()
+    if isinstance(value, (list, tuple)):
+        return [to_jsonable(v) for v in value]
+    return value
+
+
 def _volume(box):
     return (box[3] - box[0]) * (box[4] - box[1]) * (box[5] - box[2])
 

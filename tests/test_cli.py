@@ -109,3 +109,38 @@ def test_predict_cli_sliding_window(tiny_dataset, tmp_path):
     ])
     pred_dir = out / "validation_set" / "min_score_0.0"
     assert len(list(pred_dir.glob("sub-*_preds.json"))) == 2
+
+
+def test_predict_eval_cli_two_classes(tmp_path):
+    """Multi-class (cubes + shells) end-to-end through predict+eval CLIs."""
+    import jax
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+    from mslesions3d_tpu.train import create_train_state
+    from mslesions3d_tpu.train.checkpoints import save_checkpoint
+
+    generate_dataset(
+        tmp_path / "d2", num_images=5, n_classes=2, image_size=(24, 24, 24),
+        object_size=(8, 12), num_objects=(1, 3), object_width=3, seed=2,
+    )
+    cfg = SSD3DConfig.create(
+        n_classes=3, input_channels=1, input_size=(24, 24, 24),
+        width_mult=0.25, min_score=0.0, top_k=10,
+    )
+    state = create_train_state(SSD3D(cfg), cfg, jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / "ck2", state, cfg, {"avg_val_loss": 1.0})
+
+    out = tmp_path / "p2"
+    predict_cli.main([
+        "-d", str(tmp_path / "d2"), "-m", str(ckpt), "-o", str(out),
+        "-ps", "train", "-sc", "0.0", "-k", "10", "-c", "2",
+    ])
+    eval_cli.main([
+        "-d", str(tmp_path / "d2"), "-pd", str(out), "-ps", "train",
+        "-sc", "0.0", "-iou", "0.1", "-c", "2",
+    ])
+    metrics = json.loads(
+        (out / "train_set" / "min_score_0.0" /
+         "metrics_(min_IoU=0.1_min_score=0.0).json").read_text()
+    )
+    assert isinstance(metrics["APs"], dict)

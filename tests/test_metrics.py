@@ -108,3 +108,21 @@ def test_multiimage_aggregation():
                            n_classes=2, min_overlap=0.5, return_detail=True)
     assert detail["recall"] == 0.5
     assert detail["precision"] == 1.0
+
+
+def test_multiclass_metrics_detail():
+    """n_classes=3 path: per-class dicts, not the binary collapse."""
+    gt_boxes = [boxes([0.1, 0.1, 0.1, 0.3, 0.3, 0.3], [0.5, 0.5, 0.5, 0.8, 0.8, 0.8])]
+    gt_labels = [np.array([1, 2])]
+    diffs = [np.array([False, False])]
+    det_scores = [np.array([0.9, 0.8], dtype=np.float32)]
+
+    detail = calculate_mAP(gt_boxes, gt_labels, det_scores, gt_boxes, gt_labels,
+                           diffs, n_classes=3, min_overlap=0.5, return_detail=True)
+    assert detail["mAP"] == 1.0
+    assert isinstance(detail["precision"], dict)
+    assert detail["precision"][1] == 1.0 and detail["precision"][2] == 1.0
+
+    from mslesions3d_tpu.ops.metrics import to_jsonable
+    import json
+    json.dumps(to_jsonable(detail))  # must be serializable end-to-end
