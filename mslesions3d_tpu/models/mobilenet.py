@@ -82,22 +82,28 @@ class MobileNetBackbone(nn.Module):
     cube: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         plan = mobilenet_layer_plan(
             self.config_name, self.width_mult, self.cube, max(self.feature_layers)
         )
+        conv_cls, block_cls = ConvBNReLU, DepthwiseSeparableBlock
+        if self.remat:
+            # train flag (arg 2) is a static python bool
+            conv_cls = nn.remat(ConvBNReLU, static_argnums=(2,))
+            block_cls = nn.remat(DepthwiseSeparableBlock, static_argnums=(2,))
         wanted = set(self.feature_layers)
         features = {}
         for i, spec in enumerate(plan):
             if spec["kind"] == "conv_bn":
-                x = ConvBNReLU(spec["features"], spec["strides"], dtype=self.dtype,
-                               name=f"layer_{i}")(x, train=train)
+                x = conv_cls(spec["features"], spec["strides"], dtype=self.dtype,
+                             name=f"layer_{i}")(x, train)
             else:
-                x = DepthwiseSeparableBlock(spec["features"], spec["strides"],
-                                            dtype=self.dtype, use_pallas=self.use_pallas,
-                                            name=f"layer_{i}")(x, train=train)
+                x = block_cls(spec["features"], spec["strides"],
+                              dtype=self.dtype, use_pallas=self.use_pallas,
+                              name=f"layer_{i}")(x, train)
             if i in wanted:
                 features[i] = x
         return features

@@ -66,6 +66,7 @@ class SSD3DConfig:
     boxes_per_location: int = 2
     use_l2_rescale: bool = False
     use_pallas: bool = False  # fused Pallas depthwise kernel at inference
+    remat: bool = False  # jax.checkpoint each backbone block (memory for FLOPs)
     dtype: str = "float32"  # "bfloat16" for TPU hot path
     comments: str = ""
 
@@ -171,6 +172,7 @@ class SSD3D(nn.Module):
                 cube=cfg.cube,
                 dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
+                remat=cfg.remat,
             )
         elif "convnet" in cfg.base_network_config:
             self.backbone = ConvNetBackbone(

@@ -277,3 +277,27 @@ def test_priors_per_feature_map_concat_equals_flat():
     np.testing.assert_allclose(
         np.concatenate([per_map[3], per_map[5]]), flat, rtol=1e-6
     )
+
+
+def test_remat_equivalence():
+    """remat=True is numerically identical and keeps gradients finite."""
+    base = dict(n_classes=2, input_channels=1, input_size=(16, 16, 16), width_mult=0.25)
+    cfg = SSD3DConfig.create(**base)
+    cfg_r = SSD3DConfig.create(**base, remat=True)
+    model, model_r = SSD3D(cfg), SSD3D(cfg_r)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    out = model.apply(variables, x, train=False)
+    out_r = model_r.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_r[0]), np.asarray(out[0]), rtol=1e-5)
+
+    def loss(params):
+        locs, scores = model_r.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x, train=False
+        )
+        return jnp.sum(locs ** 2) + jnp.sum(scores ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
