@@ -110,7 +110,8 @@ class CheckpointManager:
     def save(self, state, config, metrics: dict, epoch: int):
         value = float(metrics[self.monitor])
         name = f"checkpoint-epoch={epoch:03d}-{self.monitor}={value:.4f}"
-        path = save_checkpoint(self.root / name, state, config, metrics)
+        path = save_checkpoint(self.root / name, state, config, metrics,
+                               extra={"epoch": epoch})
         self._kept.append((value, path))
         self._sort()
         while len(self._kept) > self.save_top_k:

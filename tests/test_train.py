@@ -212,3 +212,12 @@ def test_trainer_fit_end_to_end(tmp_path):
     )
     state2, result2 = Trainer(tcfg2).fit(cfg, dm, resume=result["best_checkpoint"])
     assert int(state2.step) > 0
+
+
+def test_resume_restores_epoch(tiny_setup, tmp_path):
+    cfg, model, priors, state = tiny_setup
+    mgr = CheckpointManager(tmp_path, save_top_k=1)
+    path = mgr.save(state, cfg, {"avg_val_loss": 2.0}, epoch=7)
+    from mslesions3d_tpu.train.checkpoints import load_checkpoint as lc
+    _, _, meta = lc(path, state_template=state)
+    assert meta["extra"]["epoch"] == 7
