@@ -16,11 +16,12 @@ import numpy as np
 
 from ..data.datasets import SyntheticDataModule
 from ..ops import metrics as metrics_lib
+from .predict import build_datamodule, subject_id
 
 
 def retrieve_boxes(path_to_dir, subject, confidence_threshold=0.5):
     """Re-filter one subject's saved detections (eval.py:42-58)."""
-    path = Path(path_to_dir) / f"sub-{subject}_preds.json"
+    path = Path(path_to_dir) / f"sub-{subject_id(subject)}_preds.json"
     with open(path) as f:
         infos = json.load(f).values()
 
@@ -39,8 +40,8 @@ def retrieve_boxes(path_to_dir, subject, confidence_threshold=0.5):
 
 def evaluate(prediction_dir, dataset_path, model_name=None, dataset_name=None,
              predict_subset="train", n_classes=1, percentage=1.0,
-             confidence_threshold=0.5, min_iou=0.5, subject=None):
-    dataset = SyntheticDataModule(
+             confidence_threshold=0.5, min_iou=0.5, subject=None, datamodule=None):
+    dataset = datamodule or SyntheticDataModule(
         data_dir=dataset_path, dataset_name=dataset_name, n_classes=n_classes,
         percentage=percentage, batch_size=32, cache=False, subject=subject,
     )

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from ..data.boxes_from_seg import segmentation_from_boxes
-from ..data.datasets import SyntheticDataModule
+from ..data.datasets import LesionsDataModule, SyntheticDataModule
 from ..data.nifti import save_nifti
 from ..models.ssd3d import SSD3D, model_priors
 from ..ops import metrics as metrics_lib
@@ -54,7 +54,36 @@ def build_parser():
                         "overlapping patches + on-device stitching")
     p.add_argument("--overlap", type=float, default=0.25,
                    help="sliding-window patch overlap fraction")
+    p.add_argument("-dt", "--dataset_type", type=str, default="synthetic",
+                   choices=["synthetic", "lesions"])
+    p.add_argument("--centers", type=str, nargs="*",
+                   default=["CHUV_RIM_OK", "BASEL_INSIDER_OK"])
+    p.add_argument("--input_images", type=str, nargs="*", default=["FLAIR"])
+    p.add_argument("--segmentation", type=str, default="labeled_lesions")
+    p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
     return p
+
+
+def build_datamodule(args):
+    if args.dataset_type == "lesions":
+        return LesionsDataModule(
+            data_dir=args.dataset_path, centers=tuple(args.centers),
+            input_images=tuple(args.input_images), segmentation=args.segmentation,
+            subject=args.subject, percentage=args.percentage, batch_size=1,
+            cache=True, spatial_size=tuple(args.spatial_size),
+        )
+    return SyntheticDataModule(
+        data_dir=args.dataset_path, dataset_name=args.dataset_name,
+        n_classes=args.n_classes, subject=args.subject, percentage=args.percentage,
+        batch_size=1, cache=True,
+    )
+
+
+def subject_id(subj) -> str:
+    """Filename-safe subject id ((center, sub) tuples -> center_sub)."""
+    if isinstance(subj, (tuple, list)):
+        return "_".join(str(s) for s in subj)
+    return str(subj)
 
 
 def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, scores,
@@ -91,13 +120,13 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
                 painted = np.where(one > 0, float(j), painted)
         else:
             painted = np.zeros(image_shape, np.float32)
-        save_nifti(output_dir / f"sub-{subject}_preds.nii.gz", painted,
+        save_nifti(output_dir / f"sub-{subject_id(subject)}_preds.nii.gz", painted,
                    affine if affine is not None else np.eye(4))
 
     pd.DataFrame(scores_map, columns=["label_id", "score"]).to_csv(
-        output_dir / f"sub-{subject}_preds.csv"
+        output_dir / f"sub-{subject_id(subject)}_preds.csv"
     )
-    with open(output_dir / f"sub-{subject}_preds.json", "w") as f:
+    with open(output_dir / f"sub-{subject_id(subject)}_preds.json", "w") as f:
         json.dump(all_infos, f)
 
 
@@ -164,7 +193,7 @@ def compute_subjects_mAP(results, gt, n_classes, min_iou, output_dir=None):
             [db], [dl], [ds], [gb], [gl], [np.zeros(len(gl), bool)],
             n_classes=n_classes, min_overlap=min_iou, return_detail=True,
         )
-        all_metrics[subj] = metrics_lib.to_jsonable(
+        all_metrics[subject_id(subj)] = metrics_lib.to_jsonable(
             {k: v for k, v in detail.items() if k != "sorted_det_scores"}
         )
     if output_dir is not None:
@@ -198,11 +227,7 @@ def main(argv=None):
     if not ckpt_copy.exists():
         shutil.copytree(args.model_path, ckpt_copy)
 
-    dataset = SyntheticDataModule(
-        data_dir=args.dataset_path, dataset_name=args.dataset_name,
-        n_classes=args.n_classes, subject=args.subject, percentage=args.percentage,
-        batch_size=1, cache=True,
-    )
+    dataset = build_datamodule(args)
     dataset.setup("predict")
 
     # rebuild state from checkpoint (inference only needs params+stats)

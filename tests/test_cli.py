@@ -144,3 +144,30 @@ def test_predict_eval_cli_two_classes(tmp_path):
          "metrics_(min_IoU=0.1_min_score=0.0).json").read_text()
     )
     assert isinstance(metrics["APs"], dict)
+
+
+def test_predict_cli_lesions_dataset(tmp_path):
+    """BIDS datamodule through predict: tuple subjects get filename-safe ids."""
+    import jax
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+    from mslesions3d_tpu.train import create_train_state
+    from mslesions3d_tpu.train.checkpoints import save_checkpoint
+
+    root = make_bids_tree(tmp_path / "bids", subjects=("001", "002", "003"))
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(40, 44, 44),
+        width_mult=0.25, min_score=0.0, top_k=10,
+    )
+    state = create_train_state(SSD3D(cfg), cfg, jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / "ckl", state, cfg, {"avg_val_loss": 1.0})
+
+    out = tmp_path / "lp"
+    predict_cli.main([
+        "-dt", "lesions", "-d", str(root), "--centers", "CHUV_RIM_OK",
+        "--spatial_size", "40", "44", "44", "-m", str(ckpt), "-o", str(out),
+        "-ps", "validation", "-sc", "0.0", "-k", "10",
+    ])
+    pred_dir = out / "validation_set" / "min_score_0.0"
+    files = list(pred_dir.glob("sub-CHUV_RIM_OK_*_preds.json"))
+    assert len(files) == 1  # 20% of 3 subjects
