@@ -113,6 +113,14 @@ def main(argv=None):
     p.add_argument("-iou", "--min_iou", type=float, default=0.5)
     p.add_argument("-k", "--top_k", type=int, default=100)
     p.add_argument("-pd", "--prediction_dir", type=str, default="../data/predictions/")
+    p.add_argument("-dt", "--dataset_type", type=str, default="synthetic",
+                   choices=["synthetic", "lesions"])
+    p.add_argument("-su", "--subject", type=str, default=None)
+    p.add_argument("--centers", type=str, nargs="*",
+                   default=["CHUV_RIM_OK", "BASEL_INSIDER_OK"])
+    p.add_argument("--input_images", type=str, nargs="*", default=["FLAIR"])
+    p.add_argument("--segmentation", type=str, default="labeled_lesions")
+    p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
     args = p.parse_args(argv)
 
     print(f"Confidence threshold set to {args.min_score}")
@@ -121,6 +129,7 @@ def main(argv=None):
         dataset_name=args.dataset_name, predict_subset=args.predict_subset,
         n_classes=args.n_classes, percentage=args.percentage,
         confidence_threshold=args.min_score, min_iou=args.min_iou,
+        datamodule=build_datamodule(args) if args.dataset_type == "lesions" else None,
     )
 
 

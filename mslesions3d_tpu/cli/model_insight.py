@@ -17,7 +17,7 @@ import numpy as np
 from ..data.boxes_from_seg import segmentation_from_boxes
 from ..data.nifti import save_nifti
 from ..models.priors import feature_map_infos, priors_per_feature_map
-from ..models.ssd3d import SSD3D, SSD3DConfig, model_priors
+from ..models.ssd3d import SSD3D, SSD3DConfig
 from ..ops.boxes import center_to_corner
 from ..train.checkpoints import load_checkpoint
 

@@ -22,7 +22,7 @@ Reference quirks handled:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,7 @@ host round-trips happen between patches.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ validation_step/predict_step + configure_optimizers' per-step scheduler.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
