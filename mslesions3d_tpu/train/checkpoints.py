@@ -117,6 +117,9 @@ class CheckpointManager:
         while len(self._kept) > self.save_top_k:
             _, worst = self._kept.pop()
             shutil.rmtree(worst, ignore_errors=True)
+        # always keep the most recent state for resume, independent of top-k
+        save_checkpoint(self.root / "last", state, config, metrics,
+                        extra={"epoch": epoch})
         return path
 
     @property

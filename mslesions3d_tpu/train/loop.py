@@ -118,7 +118,10 @@ class Trainer:
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
         )
-        eval_step = make_eval_step(config, model, priors, with_detections=True)
+        eval_step = make_eval_step(
+            config, model, priors, with_detections=True,
+            hard_negative_mining=cfg.hard_negative_mining,
+        )
 
         logger = MetricsLogger(cfg.logdir, cfg.experiment_name, cfg.use_wandb,
                                wandb_config=config.to_json_dict())

@@ -101,8 +101,14 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
 
 
 def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
-                   with_detections: bool = True):
-    """Returns jitted fn(state, batch) -> metrics (+ padded detections)."""
+                   with_detections: bool = True,
+                   hard_negative_mining: bool = False):
+    """Returns jitted fn(state, batch) -> metrics (+ padded detections).
+
+    ``hard_negative_mining`` must match the training flag: otherwise the
+    monitored validation loss is a different objective than the one being
+    optimized and checkpoint selection picks the wrong epochs.
+    """
     priors_center = jnp.asarray(priors_center)
 
     def step(state, batch):
@@ -113,6 +119,7 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
         conf_loss, loc_loss = multibox_loss_from_config(
             config, locs, scores, batch["boxes"], batch["labels"],
             batch["box_mask"], priors_center, batch_mask=batch["batch_mask"],
+            hard_negative_mining=hard_negative_mining,
         )
         out = {
             "total_loss": conf_loss + config.alpha * loc_loss,

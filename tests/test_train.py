@@ -221,3 +221,16 @@ def test_resume_restores_epoch(tiny_setup, tmp_path):
     from mslesions3d_tpu.train.checkpoints import load_checkpoint as lc
     _, _, meta = lc(path, state_template=state)
     assert meta["extra"]["epoch"] == 7
+
+
+def test_checkpoint_last_always_saved(tiny_setup, tmp_path):
+    cfg, model, priors, state = tiny_setup
+    mgr = CheckpointManager(tmp_path, save_top_k=1)
+    mgr.save(state, cfg, {"avg_val_loss": 1.0}, epoch=0)
+    state2 = state.replace(step=state.step + 5)
+    mgr.save(state2, cfg, {"avg_val_loss": 9.0}, epoch=1)  # worse -> evicted from top-k
+    assert (tmp_path / "last" / "meta.json").exists()
+    import json
+    meta = json.loads((tmp_path / "last" / "meta.json").read_text())
+    assert meta["extra"]["epoch"] == 1
+    assert meta["step"] == int(state2.step)
