@@ -23,10 +23,11 @@ import jax
 import numpy as np
 
 from ..data.augment import AugmentConfig
+from ..data.prefetch import prefetch_batches
 from ..models.ssd3d import SSD3D, SSD3DConfig, model_priors
 from ..ops import metrics as metrics_lib
 from ..ops.nms import detections_to_lists
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
 from .checkpoints import CheckpointManager, load_checkpoint
 from .logging import MetricsLogger
 from .state import create_train_state, make_optimizer
@@ -150,10 +151,15 @@ class Trainer:
             accum = {"train": {"det": [], "gt": []}, "val": {"det": [], "gt": []}}
             t0 = time.time()
             train_losses = []
-            for batch in datamodule.train_batches(epoch=epoch):
-                batch = array_batch(batch)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
+            # prefetch: host batch assembly + host->device transfer overlap
+            # the previous step's execution (the reference's DataLoader
+            # worker analog)
+            batches = prefetch_batches(
+                (array_batch(b) for b in datamodule.train_batches(epoch=epoch)),
+                prefetch=2,
+                sharding=batch_sharding(mesh) if mesh is not None else None,
+            )
+            for batch in batches:
                 rng, step_rng = jax.random.split(rng)
                 state, m = train_step(state, batch, step_rng)
                 step += 1

@@ -234,3 +234,23 @@ def test_checkpoint_last_always_saved(tiny_setup, tmp_path):
     meta = json.loads((tmp_path / "last" / "meta.json").read_text())
     assert meta["extra"]["epoch"] == 1
     assert meta["step"] == int(state2.step)
+
+
+def test_prefetch_batches_order_and_errors():
+    from mslesions3d_tpu.data.prefetch import prefetch_batches
+
+    batches = [{"image": np.full((2, 2), i, np.float32), "subjects": [str(i)]}
+               for i in range(5)]
+    out = list(prefetch_batches(iter(batches), prefetch=2))
+    assert [int(np.asarray(b["image"])[0, 0]) for b in out] == list(range(5))
+    assert out[0]["subjects"] == ["0"]
+    assert isinstance(out[0]["image"], jax.Array)
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("producer boom")
+
+    it = prefetch_batches(bad(), prefetch=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer boom"):
+        next(it)
