@@ -34,7 +34,9 @@ def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("soft", "hard_negative_mining", "neg_pos_ratio"),
+    static_argnames=(
+        "soft", "hard_negative_mining", "neg_pos_ratio", "focal_gamma", "focal_alpha",
+    ),
 )
 def multibox_loss(
     predicted_locs: jnp.ndarray,  # (B, P, 6)
@@ -50,8 +52,16 @@ def multibox_loss(
     soft: bool = False,
     neg_pos_ratio: int = 3,
     hard_negative_mining: bool = False,
+    focal_gamma: float = 0.0,
+    focal_alpha: float = 0.25,
 ):
-    """Returns (conf_loss, loc_loss) scalars (fp32)."""
+    """Returns (conf_loss, loc_loss) scalars (fp32).
+
+    focal_gamma > 0 switches the confidence term to a softmax focal loss
+    FL = -alpha_t (1-p_t)^gamma log(p_t) — the reference's commented-out
+    FocalLoss alternative (ssd3d.py:760: gamma=2, weight 0.25, background
+    excluded from the alpha weight).
+    """
     if batch_mask is not None:
         gt_mask = gt_mask & batch_mask[:, None]
     priors_corner = center_to_corner(priors_center)
@@ -69,6 +79,10 @@ def multibox_loss(
 
     # CONFIDENCE: CE over all priors; ignore band (-1) contributes zero.
     ce = _cross_entropy(predicted_scores, jnp.maximum(cls_targets, 0))  # (B, P)
+    if focal_gamma > 0.0:
+        p_t = jnp.exp(-ce)  # prob of the target class
+        alpha_t = jnp.where(cls_targets > 0, focal_alpha, 1.0 - focal_alpha)
+        ce = alpha_t * (1.0 - p_t) ** focal_gamma * ce
     ce = jnp.where(cls_targets < 0, 0.0, ce)
     if batch_mask is not None:
         ce = jnp.where(batch_mask[:, None], ce, 0.0)

@@ -301,3 +301,33 @@ def test_remat_equivalence():
 
     grads = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_focal_loss_option():
+    rng = np.random.default_rng(11)
+    P, B, M = 60, 1, 2
+    priors = np.concatenate(
+        [rng.uniform(0.3, 0.7, (P, 3)), rng.uniform(0.1, 0.3, (P, 3))], 1
+    ).astype(np.float32)
+    lo = rng.uniform(0.2, 0.5, (B, M, 3))
+    gt_boxes = np.concatenate([lo, lo + 0.25], -1).astype(np.float32)
+    gt_labels = np.ones((B, M), np.int32)
+    gt_mask = np.ones((B, M), bool)
+    locs = jnp.zeros((B, P, 6))
+    logits = jnp.asarray(rng.normal(0, 1, (B, P, 2)).astype(np.float32))
+
+    conf_ce, _ = multibox_loss(
+        locs, logits, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+        jnp.asarray(gt_mask), jnp.asarray(priors), 0.5,
+    )
+    conf_focal, _ = multibox_loss(
+        locs, logits, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+        jnp.asarray(gt_mask), jnp.asarray(priors), 0.5, focal_gamma=2.0,
+    )
+    # focal downweights easy examples -> strictly smaller than plain CE here
+    assert 0 < float(conf_focal) < float(conf_ce)
+    g = jax.grad(lambda l: multibox_loss(
+        locs, l, jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+        jnp.asarray(gt_mask), jnp.asarray(priors), 0.5, focal_gamma=2.0,
+    )[0])(logits)
+    assert np.isfinite(np.asarray(g)).all()

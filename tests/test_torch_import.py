@@ -141,3 +141,34 @@ def test_converted_tree_structure(converted):
     assert shapes(params["backbone"]) == shapes(template["params"]["backbone"])
     assert shapes(params["heads"]) == shapes(template["params"]["heads"])
     assert shapes(batch_stats["backbone"]) == shapes(template["batch_stats"]["backbone"])
+
+
+def test_import_torch_cli(converted, tmp_path):
+    """Torch .ckpt file -> framework checkpoint dir -> loadable + usable."""
+    import torch as _torch
+
+    from mslesions3d_tpu.cli import import_torch as cli
+    from mslesions3d_tpu.train.checkpoints import load_checkpoint
+
+    tm, cfg, _, _ = converted
+    ckpt_file = tmp_path / "ref.ckpt"
+    _torch.save({"state_dict": tm.state_dict()}, ckpt_file)
+
+    out = cli.main([
+        "-m", str(ckpt_file), "-o", str(tmp_path / "conv"),
+        "--input_size", "32", "32", "32",
+    ])
+    config, payload, meta = load_checkpoint(out)
+    assert meta["extra"]["imported_from"] == str(ckpt_file)
+    assert config.input_size == (32, 32, 32)
+
+    # forward through the imported checkpoint matches the torch mirror
+    model = SSD3D(config)
+    x = np.random.default_rng(0).normal(size=(1, 1, 32, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_locs, _ = tm(torch.tensor(x))
+    j_locs, _ = model.apply(
+        {"params": payload["params"], "batch_stats": payload["batch_stats"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-2, atol=5e-3)
