@@ -87,8 +87,15 @@ def subject_id(subj) -> str:
 
 
 def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, scores,
-                             affine=None, min_score=0.5, save_images=True):
-    """Write the reference's three per-subject artifacts (predict.py:155-232)."""
+                             affine=None, min_score=0.5, save_images=True,
+                             transform_meta=None):
+    """Write the reference's three per-subject artifacts (predict.py:155-232).
+
+    When the sample was preprocessed with recorded transform_meta (BIDS
+    pipeline), an additional sub-<id>_preds_origspace.json maps each
+    detection to voxel boxes on the ORIGINAL image grid via
+    inverse_map_boxes (the reference's MONAI inverse-transform save path).
+    """
     import pandas as pd
 
     output_dir = Path(output_dir)
@@ -110,24 +117,34 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
 
     if save_images:
         if keep_boxes:
-            instances, _ = segmentation_from_boxes(
-                np.asarray(keep_boxes), np.ones(len(keep_boxes)), tuple(image_shape)
+            # class_map paints the label VALUE, i.e. the original detection id
+            _, painted = segmentation_from_boxes(
+                np.asarray(keep_boxes), keep_labels, tuple(image_shape)
             )
-            # re-label wireframes with the original detection index
-            painted = np.zeros(image_shape, np.float32)
-            for j, b in zip(keep_labels, keep_boxes):
-                one, _ = segmentation_from_boxes(b[None], [1], tuple(image_shape))
-                painted = np.where(one > 0, float(j), painted)
         else:
             painted = np.zeros(image_shape, np.float32)
+        # the wireframe lives on the PREPROCESSED grid; an anatomical affine
+        # would misplace it over the raw image, so identity unless the grid
+        # is the original one (no recorded transforms)
+        wire_affine = affine if (affine is not None and not transform_meta) else np.eye(4)
         save_nifti(output_dir / f"sub-{subject_id(subject)}_preds.nii.gz", painted,
-                   affine if affine is not None else np.eye(4))
+                   wire_affine)
 
     pd.DataFrame(scores_map, columns=["label_id", "score"]).to_csv(
         output_dir / f"sub-{subject_id(subject)}_preds.csv"
     )
     with open(output_dir / f"sub-{subject_id(subject)}_preds.json", "w") as f:
         json.dump(all_infos, f)
+
+    if transform_meta and keep_boxes:
+        from ..data.transforms import inverse_map_boxes
+
+        orig = inverse_map_boxes(np.asarray(keep_boxes), image_shape, transform_meta)
+        orig_infos = {
+            j: [float(v) for v in box] for j, box in zip(keep_labels, orig)
+        }
+        with open(output_dir / f"sub-{subject_id(subject)}_preds_origspace.json", "w") as f:
+            json.dump(orig_infos, f)
 
 
 def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
@@ -180,6 +197,7 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
                     output_dir, subj, sample["img"].shape[:3], db[i], dl[i], ds[i],
                     affine=sample.get("affine"), min_score=min_score,
                     save_images=save_images,
+                    transform_meta=sample.get("transform_meta"),
                 )
     return results, gt
 

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--max_objects", type=int, default=16)
     p.add_argument("--hard_negative_mining", type=int, default=0)
+    p.add_argument("--focal_gamma", type=float, default=0.0,
+                   help="> 0 switches the confidence loss to softmax focal "
+                        "(the reference's commented-out FocalLoss, ssd3d.py:760)")
+    p.add_argument("--focal_alpha", type=float, default=0.25)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
     return p
@@ -152,6 +156,8 @@ def main(argv=None):
         max_object_size=args.max_object_size,
         base_network_config=args.base_network_config,
         boxes_per_location=args.boxes_per_location,
+        focal_gamma=args.focal_gamma,
+        focal_alpha=args.focal_alpha,
         dtype=args.dtype,
     )
 

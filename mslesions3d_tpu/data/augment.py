@@ -69,20 +69,29 @@ class AugmentConfig:
         )
 
 
-def _flip_boxes(boxes, axis):
-    """Corner-form fractional boxes under a flip of spatial ``axis``."""
+def _flip_boxes(boxes, axis, inv_size):
+    """Corner-form fractional boxes under a flip of spatial ``axis``.
+
+    GT boxes use the inclusive-max-index convention (box = [min_idx,
+    max_idx] / size, utils.py:500): a flip maps index i -> S-1-i, so the new
+    corner is 1 - old - 1/S, not 1 - old.
+    """
     lo = boxes[..., axis]
     hi = boxes[..., axis + 3]
-    boxes = boxes.at[..., axis].set(1.0 - hi)
-    return boxes.at[..., axis + 3].set(1.0 - lo)
+    boxes = boxes.at[..., axis].set(1.0 - hi - inv_size)
+    return boxes.at[..., axis + 3].set(1.0 - lo - inv_size)
 
 
-def _rot90_boxes(boxes, a, b):
-    """Boxes under jnp.rot90(img, 1, axes=(a, b)): new_a = 1-old_b, new_b = old_a."""
+def _rot90_boxes(boxes, a, b, inv_size):
+    """Boxes under jnp.rot90(img, 1, axes=(a, b)).
+
+    out[i, j] = in[j, S-1-i]: new_a = 1 - old_b - 1/S (inclusive-index
+    convention, see _flip_boxes), new_b = old_a.
+    """
     lo_a, hi_a = boxes[..., a], boxes[..., a + 3]
     lo_b, hi_b = boxes[..., b], boxes[..., b + 3]
-    boxes = boxes.at[..., a].set(1.0 - hi_b)
-    boxes = boxes.at[..., a + 3].set(1.0 - lo_b)
+    boxes = boxes.at[..., a].set(1.0 - hi_b - inv_size)
+    boxes = boxes.at[..., a + 3].set(1.0 - lo_b - inv_size)
     boxes = boxes.at[..., b].set(lo_a)
     return boxes.at[..., b + 3].set(hi_a)
 
@@ -129,7 +138,7 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         rng, key = jax.random.split(rng)
         do = jax.random.bernoulli(key, config.flip_prob)
         img = jnp.where(do, jnp.flip(img, axis=axis), img)
-        boxes = jnp.where(do, _flip_boxes(boxes, axis), boxes)
+        boxes = jnp.where(do, _flip_boxes(boxes, axis, 1.0 / img.shape[axis]), boxes)
 
     for a, b in config.rot90_planes:
         if img.shape[a] != img.shape[b]:
@@ -137,7 +146,7 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         rng, key = jax.random.split(rng)
         do = jax.random.bernoulli(key, config.rot90_prob)
         img = jnp.where(do, jnp.rot90(img, 1, axes=(a, b)), img)
-        boxes = jnp.where(do, _rot90_boxes(boxes, a, b), boxes)
+        boxes = jnp.where(do, _rot90_boxes(boxes, a, b, 1.0 / img.shape[a]), boxes)
 
     if config.affine_prob > 0.0:
         rng, kdo, kt, ks = jax.random.split(rng, 4)
@@ -161,14 +170,14 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
             ),
             axis=-1,
         )
-        # forward map T(x) = s*(x - c) + c + t  =>  sample input at T^{-1}(o)
+        # forward map T(v) = s*(v - c) + c + t in voxel-index space
+        # (c = (S-1)/2) => sample input at T^{-1}(o)
         coords = (grid - center - t) / s + center
         img = trilinear_resample(img, coords)
-        # boxes (fractional): min' = s*(min - 0.5) + 0.5 + t/shape
-        t_frac = t / shape
-        lo = s * (boxes[..., :3] - 0.5) + 0.5 + t_frac
-        hi = s * (boxes[..., 3:] - 0.5) + 0.5 + t_frac
-        boxes = jnp.concatenate([lo, hi], axis=-1)
+        # boxes transform in the same voxel-index space as the resample grid
+        lo_vox = s * (boxes[..., :3] * shape - center) + center + t
+        hi_vox = s * (boxes[..., 3:] * shape - center) + center + t
+        boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
 
     if config.shift_intensity > 0.0:
         rng, kdo, kv = jax.random.split(rng, 3)

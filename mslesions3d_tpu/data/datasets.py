@@ -259,8 +259,14 @@ class LesionsDataModule(_BaseDataModule):
             self.thresholds = None
         elif self.n_classes == 1:
             self.thresholds = [(1, np.inf)]
-        elif self.n_classes == 2:
-            self.thresholds = [(1000, 2000), (2000, np.inf)]
+        else:
+            # per-class instance-id bands (c*1000 scheme), open-ended last
+            # band; the reference only defines n_classes <= 2
+            # (datasets.py:169-172)
+            self.thresholds = [
+                (c * 1000, (c + 1) * 1000 if c < self.n_classes else np.inf)
+                for c in range(1, self.n_classes + 1)
+            ]
 
         self.subjects_list = []
         for c in centers:

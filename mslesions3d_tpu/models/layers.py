@@ -102,11 +102,15 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        k = _triple(self.kernel_size)
         x = nn.Conv(
             self.features,
-            kernel_size=_triple(self.kernel_size),
+            kernel_size=k,
             strides=_triple(self.strides),
-            padding="SAME",
+            # explicit torch-style symmetric padding: XLA "SAME" pads (0, 1)
+            # at stride 2 on even dims, sampling different window positions
+            # than torch Conv3d(padding=1) — breaks checkpoint import parity
+            padding=tuple((ki // 2, ki // 2) for ki in k),
             use_bias=False,
             dtype=self.dtype,
             name="conv",
@@ -164,7 +168,7 @@ class DepthwiseSeparableBlock(nn.Module):
                 x.astype(self.dtype),
                 dw_conv.kernel.astype(self.dtype),
                 window_strides=strides,
-                padding="SAME",
+                padding=((1, 1), (1, 1), (1, 1)),  # torch-parity (see stem conv)
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 feature_group_count=in_features,
             )
@@ -206,7 +210,7 @@ class ConvNormActBlock(nn.Module):
             self.features,
             kernel_size=(3, 3, 3),
             strides=_triple(self.strides),
-            padding="SAME",
+            padding=((1, 1), (1, 1), (1, 1)),  # torch-parity (see stem conv)
             use_bias=True,
             dtype=self.dtype,
             name="conv",

@@ -108,16 +108,16 @@ def multibox_loss(
 def multibox_loss_from_config(config, predicted_locs, predicted_scores,
                               gt_boxes, gt_labels, gt_mask, priors_center,
                               batch_mask=None, hard_negative_mining: bool = False):
-    """Config-driven wrapper resolving hard vs soft thresholds."""
+    """Config-driven wrapper resolving thresholds + focal options."""
     if config.soft_matching:
         lo, hi = config.threshold
-        return multibox_loss(
-            predicted_locs, predicted_scores, gt_boxes, gt_labels, gt_mask,
-            priors_center, lo, hi, batch_mask, soft=True,
-            hard_negative_mining=hard_negative_mining,
-        )
+        soft = True
+    else:
+        lo, hi, soft = config.threshold[0], 0.0, False
     return multibox_loss(
         predicted_locs, predicted_scores, gt_boxes, gt_labels, gt_mask,
-        priors_center, config.threshold[0], 0.0, batch_mask, soft=False,
+        priors_center, lo, hi, batch_mask, soft=soft,
         hard_negative_mining=hard_negative_mining,
+        focal_gamma=getattr(config, "focal_gamma", 0.0),
+        focal_alpha=getattr(config, "focal_alpha", 0.25),
     )

@@ -64,6 +64,8 @@ class SSD3DConfig:
     max_object_size: float = 14.0
     scales: tuple = ()  # ((layer, scale), ...); empty = linspace default
     boxes_per_location: int = 2
+    focal_gamma: float = 0.0  # > 0 switches conf loss to softmax focal
+    focal_alpha: float = 0.25
     use_l2_rescale: bool = False
     use_pallas: bool = False  # fused Pallas depthwise kernel at inference
     remat: bool = False  # jax.checkpoint each backbone block (memory for FLOPs)
@@ -148,9 +150,12 @@ class PredictionHeads(nn.Module):
             x = features[layer]
             n_boxes = cfg.boxes_per_map(layer)
             batch = x.shape[0]
-            loc = nn.Conv(n_boxes * 6, kernel_size=(3, 3, 3), padding="SAME",
+            # stride-1 k3: (1,1) padding == SAME; explicit for torch parity
+            loc = nn.Conv(n_boxes * 6, kernel_size=(3, 3, 3),
+                          padding=((1, 1), (1, 1), (1, 1)),
                           dtype=cfg.compute_dtype, name=f"loc_{layer}")(x)
-            cls = nn.Conv(n_boxes * cfg.n_classes, kernel_size=(3, 3, 3), padding="SAME",
+            cls = nn.Conv(n_boxes * cfg.n_classes, kernel_size=(3, 3, 3),
+                          padding=((1, 1), (1, 1), (1, 1)),
                           dtype=cfg.compute_dtype, name=f"cls_{layer}")(x)
             locs.append(loc.reshape(batch, -1, 6))
             scores.append(cls.reshape(batch, -1, cfg.n_classes))

@@ -61,6 +61,7 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             )
             conf_loss, loc_loss = multibox_loss_from_config(
                 config, locs, scores, boxes, labels, box_mask, priors_center,
+                batch_mask=batch.get("batch_mask"),
                 hard_negative_mining=hard_negative_mining,
             )
             total = conf_loss + config.alpha * loc_loss

@@ -175,7 +175,7 @@ def test_transforms():
     assert set(np.unique(s2["seg"])).issubset({0.0, 1.0})
 
 
-def _boxes_close(a, b, tol=1.5 / 32):
+def _boxes_close(a, b, tol=0.6 / 32):
     return np.allclose(np.sort(a, 0), np.sort(b, 0), atol=tol)
 
 
@@ -219,7 +219,7 @@ def test_augment_affine_geometry():
     )
     rederived, _ = boxes_from_segmentation(np.asarray(img_aug)[..., 0] > 0.5, "binary")
     assert rederived.shape[0] == 1
-    assert _boxes_close(np.asarray(boxes_aug), rederived, tol=2.0 / 32)
+    assert _boxes_close(np.asarray(boxes_aug), rederived, tol=1.2 / 32)
 
 
 def test_augment_identity_config():

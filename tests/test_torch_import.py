@@ -124,10 +124,28 @@ def test_forward_equivalence(converted):
     )
 
     assert j_locs.shape == tuple(t_locs.shape) == (2, model_priors(cfg).shape[0], 6)
-    # fp32 conv/BN stacks accumulate ~1e-3 abs drift between XLA and torch
-    # backends; architectural mis-wiring would produce O(1) differences.
-    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-2, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(j_scores), t_scores.numpy(), rtol=1e-2, atol=5e-3)
+    # guard against vacuous parity: outputs must carry input-dependent signal
+    # (not just head biases) — a padding/wiring bug once hid behind collapsed
+    # activations here
+    assert float(t_locs.std()) > 0.01
+    assert float((t_locs[0] - t_locs[1]).abs().max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_scores), t_scores.numpy(), rtol=1e-4, atol=1e-5)
+
+    # intermediate-layer parity: the stride-2 stem is where XLA SAME padding
+    # (0,1) would diverge from torch padding (1,1)
+    feats_j = model.apply(
+        {"params": merged_params, "batch_stats": batch_stats},
+        x_jax, train=False, method=lambda m, xx, train: m.backbone(xx, train=train),
+    )
+    with torch.no_grad():
+        t3 = torch.tensor(x)
+        for i, f in enumerate(tm.base.features):
+            t3 = f(t3)
+            if i == 3:
+                break
+    l3 = np.transpose(np.asarray(feats_j[3]), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(l3, t3.numpy(), rtol=1e-4, atol=1e-5)
 
 
 def test_converted_tree_structure(converted):
@@ -171,4 +189,4 @@ def test_import_torch_cli(converted, tmp_path):
         {"params": payload["params"], "batch_stats": payload["batch_stats"]},
         jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))), train=False,
     )
-    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-4, atol=1e-5)
