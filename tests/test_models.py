@@ -331,3 +331,24 @@ def test_focal_loss_option():
         jnp.asarray(gt_mask), jnp.asarray(priors), 0.5, focal_gamma=2.0,
     )[0])(logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_focal_wired_through_config():
+    from mslesions3d_tpu.models.losses import multibox_loss_from_config
+
+    rng = np.random.default_rng(7)
+    P, B, M = 40, 1, 1
+    priors = np.concatenate(
+        [rng.uniform(0.3, 0.7, (P, 3)), rng.uniform(0.1, 0.3, (P, 3))], 1
+    ).astype(np.float32)
+    lo = rng.uniform(0.2, 0.5, (B, M, 3))
+    gt = np.concatenate([lo, lo + 0.3], -1).astype(np.float32)
+    args = (jnp.zeros((B, P, 6)), jnp.asarray(rng.normal(0, 1, (B, P, 2)), jnp.float32),
+            jnp.asarray(gt), jnp.ones((B, M), jnp.int32), jnp.ones((B, M), bool),
+            jnp.asarray(priors))
+
+    cfg_plain = SSD3DConfig.create(threshold=0.5)
+    cfg_focal = SSD3DConfig.create(threshold=0.5, focal_gamma=2.0)
+    conf_plain, _ = multibox_loss_from_config(cfg_plain, *args)
+    conf_focal, _ = multibox_loss_from_config(cfg_focal, *args)
+    assert float(conf_focal) != float(conf_plain)
