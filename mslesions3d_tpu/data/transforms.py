@@ -42,6 +42,9 @@ def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
     """Reorder/flip volume axes so axis i points along axcodes[i].
 
     Parity: MONAI Orientationd (datasets.py:201). Works on 3D volumes.
+    Returns (img, seg, affine, perm) where perm maps new axis i to the
+    original axis perm[i] — per-axis metadata (pixdim) must be permuted
+    with it.
     """
     targets = [_AXCODE_DIRS[c] for c in axcodes]
     current = io_orientation(affine)
@@ -75,7 +78,7 @@ def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
         if flips[new_ax]:
             new_affine[:3, 3] += affine[:3, src] * (np.asarray(shape)[src] - 1)
     new_affine[:3, :3] = affine[:3, :3] @ pa[:3, :3]
-    return apply(img), apply(seg), new_affine
+    return apply(img), apply(seg), new_affine, perm
 
 
 # ---------------------------------------------------------------------------
@@ -100,12 +103,19 @@ def t_spacing(sample, pixdim=(1.0, 1.0, 1.0), mode=("bilinear", "nearest")):
 
 
 def t_orientation(sample, axcodes="LPI"):
-    img, seg, affine = orient_to_axcodes(
+    img, seg, affine, perm = orient_to_axcodes(
         sample["img"], sample.get("seg"), sample.get("affine", np.eye(4)), axcodes
     )
     sample["img"], sample["affine"] = img, affine
     if seg is not None:
         sample["seg"] = seg
+    if "pixdim" in sample and sample["pixdim"] is not None:
+        # per-axis spacing must follow the axis permutation: t_spacing would
+        # otherwise zoom the reoriented volume by the wrong per-axis factors
+        # (anisotropic sagittal/coronal acquisitions). MONAI's Spacingd reads
+        # spacing from the post-Orientationd affine and is immune.
+        pixdim = np.asarray(sample["pixdim"], np.float64)
+        sample["pixdim"] = tuple(float(pixdim[p]) for p in perm)
     return sample
 
 

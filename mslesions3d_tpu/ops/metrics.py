@@ -178,20 +178,36 @@ def calculate_mAP(
         "precision": {},
         "f1_score": {},
     }
-    n_easy_class_objects = 0
+    n_easy_objects = {}  # per class: GT count excluding difficult objects
 
     for c in range(1, n_classes):
         true_sel = true_labels_f == c
         t_images = true_images[true_sel]
         t_boxes = true_boxes_f[true_sel]
         t_diff = true_difficulties_f[true_sel]
-        n_easy_class_objects = int((~t_diff.astype(bool)).sum())
+        n_easy_objects[c] = int((~t_diff.astype(bool)).sum())
 
         det_sel = det_labels_f == c
         d_images = det_images[det_sel]
         d_boxes = det_boxes_f[det_sel]
         d_scores = det_scores_f[det_sel]
         if d_boxes.shape[0] == 0:
+            # a detection-less class still has well-defined metrics: AP=0,
+            # recall/precision 0, every easy GT volume not found (the
+            # reference skipped these entries entirely, so its n_true_boxes
+            # could misreport for multi-class; documented deviation)
+            easy = ~t_diff.astype(bool)
+            detail["TP"][c] = np.zeros(0, np.float32)
+            detail["FP"][c] = np.zeros(0, np.float32)
+            detail["detected"][c] = np.zeros(t_boxes.shape[0], np.uint8)
+            detail["found_volumes"][c] = np.zeros(0, np.float32)
+            detail["not_found_volumes"][c] = np.array(
+                [_volume(b) for i, b in enumerate(t_boxes) if easy[i]], np.float32
+            )
+            detail["sorted_scores"][c] = np.zeros(0, np.float32)
+            detail["recall"][c] = 0.0
+            detail["precision"][c] = 0.0
+            detail["f1_score"][c] = 0.0
             continue
 
         tp, fp, detected, sorted_scores, found_vol, not_found_vol = compute_metrics_per_class(
@@ -215,7 +231,7 @@ def calculate_mAP(
         cum_tp = np.cumsum(tp)
         cum_fp = np.cumsum(fp)
         cum_precision = cum_tp / (cum_tp + cum_fp + 1e-10)
-        cum_recall = cum_tp / n_easy_class_objects if n_easy_class_objects else np.zeros_like(cum_tp)
+        cum_recall = cum_tp / n_easy_objects[c] if n_easy_objects[c] else np.zeros_like(cum_tp)
 
         recall_thresholds = np.arange(0.0, 1.1, 0.1)
         precisions = np.zeros(len(recall_thresholds), dtype=np.float32)
@@ -228,36 +244,22 @@ def calculate_mAP(
     aps = {rev_label_map.get(c + 1, str(c + 1)): float(v) for c, v in enumerate(average_precisions)}
 
     if n_classes == 2:
-        # Binary case collapses the per-class dicts to scalars (utils.py:359-380).
-        if 1 in detail["TP"]:
-            result_detail = {
-                "APs": aps[list(aps.keys())[0]],
-                "mAP": mean_average_precision,
-                "precision": detail["precision"][1],
-                "recall": detail["recall"][1],
-                "f1_score": detail["f1_score"][1],
-                "sorted_det_scores": detail["sorted_scores"],
-                "TP": detail["TP"][1],
-                "FP": detail["FP"][1],
-                "n_true_boxes": int(detail["detected"][1].shape[0]),
-                "found_boxes_volumes_per_class": detail["found_volumes"][1],
-                "not_found_boxes_volumes_per_class": detail["not_found_volumes"][1],
-            }
-        else:  # no detections at all
-            true_volumes = np.array([_volume(b) for b in true_boxes_f], dtype=np.float32)
-            result_detail = {
-                "APs": 0.0,
-                "mAP": mean_average_precision,
-                "precision": 0.0,
-                "recall": 0.0,
-                "f1_score": 0.0,
-                "sorted_det_scores": {},
-                "TP": np.zeros(0, dtype=np.float32),
-                "FP": np.zeros(0, dtype=np.float32),
-                "n_true_boxes": n_easy_class_objects,
-                "found_boxes_volumes_per_class": np.zeros(0, dtype=np.float32),
-                "not_found_boxes_volumes_per_class": true_volumes,
-            }
+        # Binary case collapses the per-class dicts to scalars
+        # (utils.py:359-380); the per-class defaults above make this branch
+        # well-defined even with zero detections.
+        result_detail = {
+            "APs": aps[list(aps.keys())[0]],
+            "mAP": mean_average_precision,
+            "precision": detail["precision"][1],
+            "recall": detail["recall"][1],
+            "f1_score": detail["f1_score"][1],
+            "sorted_det_scores": detail["sorted_scores"],
+            "TP": detail["TP"][1],
+            "FP": detail["FP"][1],
+            "n_true_boxes": int(detail["detected"][1].shape[0]),
+            "found_boxes_volumes_per_class": detail["found_volumes"][1],
+            "not_found_boxes_volumes_per_class": detail["not_found_volumes"][1],
+        }
     else:
         result_detail = {
             "APs": aps,

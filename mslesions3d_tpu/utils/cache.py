@@ -1,10 +1,32 @@
 """Persistent XLA compilation cache (first compiles through the axon
-remote-compile tunnel take minutes; repeat CLI invocations should be warm)."""
+remote-compile tunnel take minutes; repeat CLI invocations should be warm).
+
+The cache directory is keyed by everything that can invalidate an AOT
+executable: the backend platform, its runtime build string (the libtpu build
+for TPU, the CPU client features for CPU), and the jax/jaxlib version pair.
+A flat, unkeyed directory served a stale TPU executable across a libtpu
+upgrade in round 1 (MULTICHIP_r01.json: "libtpu version mismatch") and
+machine-feature-mismatched XLA:CPU AOT results on CPU — keying the directory
+makes a runtime change a cold compile instead of a crash.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
+
+
+def _backend_cache_key() -> str:
+    import jax
+    import jaxlib
+
+    try:
+        backend = jax.extend.backend.get_backend()
+        runtime = f"{backend.platform}-{getattr(backend, 'platform_version', '')}"
+    except Exception:
+        runtime = jax.default_backend()
+    return f"{runtime}-jax{jax.__version__}-jaxlib{jaxlib.__version__}"
 
 
 def enable_compilation_cache(cache_dir: str | None = None):
@@ -15,6 +37,8 @@ def enable_compilation_cache(cache_dir: str | None = None):
             "MSL_JAX_CACHE",
             str(Path(__file__).resolve().parents[2] / ".jax_cache"),
         )
+    sub = hashlib.sha1(_backend_cache_key().encode()).hexdigest()[:12]
+    cache_dir = str(Path(cache_dir) / sub)
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -175,6 +175,33 @@ def test_transforms():
     assert set(np.unique(s2["seg"])).issubset({0.0, 1.0})
 
 
+def test_orientation_permutes_pixdim():
+    """Orientation with an axis permutation must carry per-axis spacing along.
+
+    Regression (round-1 advisor finding): a sagittal-style acquisition whose
+    LPI reorientation swaps axes 0 and 2, with anisotropic spacing (3,1,1) —
+    resampling to 1mm must yield (30,20,30), not zoom the wrong axes.
+    """
+    from mslesions3d_tpu.data.transforms import t_orientation
+
+    img = np.random.default_rng(0).normal(size=(10, 20, 30)).astype(np.float32)
+    # disk axis 0 runs along anatomical z, axis 2 along anatomical x:
+    # LPI orientation permutes axes (2, 1, 0)
+    affine = np.zeros((4, 4))
+    affine[2, 0] = -3.0  # axis 0: anatomical I, spacing 3mm
+    affine[1, 1] = -1.0  # axis 1: anatomical P, spacing 1mm
+    affine[0, 2] = -1.0  # axis 2: anatomical L, spacing 1mm
+    affine[3, 3] = 1.0
+
+    s = {"img": img, "seg": (img > 0).astype(np.float32),
+         "affine": affine, "pixdim": (3.0, 1.0, 1.0)}
+    s = t_orientation(s, axcodes="LPI")
+    assert s["img"].shape == (30, 20, 10)
+    assert s["pixdim"] == (1.0, 1.0, 3.0)
+    s = t_spacing(s, (1.0, 1.0, 1.0))
+    assert s["img"].shape == (30, 20, 30)
+
+
 def _boxes_close(a, b, tol=0.6 / 32):
     return np.allclose(np.sort(a, 0), np.sort(b, 0), atol=tol)
 
