@@ -88,13 +88,20 @@ def subject_id(subj) -> str:
 
 def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, scores,
                              affine=None, min_score=0.5, save_images=True,
-                             transform_meta=None):
+                             transform_meta=None, orig_shape=None,
+                             orig_affine=None):
     """Write the reference's three per-subject artifacts (predict.py:155-232).
 
     When the sample was preprocessed with recorded transform_meta (BIDS
-    pipeline), an additional sub-<id>_preds_origspace.json maps each
-    detection to voxel boxes on the ORIGINAL image grid via
-    inverse_map_boxes (the reference's MONAI inverse-transform save path).
+    pipeline), two additional original-space artifacts are written — the
+    equivalents of the reference's MONAI inverse-transform save path
+    (predict.py:284-304):
+      sub-<id>_preds_origspace.json     inverse-mapped voxel boxes on the
+                                        ORIGINAL on-disk grid
+      sub-<id>_preds_origspace.nii.gz   the detection wireframes painted on
+                                        that grid, saved with the original
+                                        affine (requires orig_shape; overlays
+                                        directly on the raw acquisition)
     """
     import pandas as pd
 
@@ -145,6 +152,28 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
         }
         with open(output_dir / f"sub-{subject_id(subject)}_preds_origspace.json", "w") as f:
             json.dump(orig_infos, f)
+
+        if save_images and orig_shape is not None:
+            # paint the wireframes directly on the original on-disk grid and
+            # save with the original affine -> overlays on the raw image
+            orig_shape = tuple(int(s) for s in orig_shape)
+            frac = np.clip(
+                orig / np.asarray(orig_shape * 2, np.float64), 0.0, 1.0
+            ).astype(np.float32)
+            nondegenerate = np.all(frac[:, 3:] > frac[:, :3], axis=-1)
+            if nondegenerate.any():
+                _, painted_orig = segmentation_from_boxes(
+                    frac[nondegenerate],
+                    [l for l, nd in zip(keep_labels, nondegenerate) if nd],
+                    orig_shape,
+                )
+            else:
+                painted_orig = np.zeros(orig_shape, np.float32)
+            save_nifti(
+                output_dir / f"sub-{subject_id(subject)}_preds_origspace.nii.gz",
+                painted_orig,
+                orig_affine if orig_affine is not None else np.eye(4),
+            )
 
 
 def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
@@ -198,6 +227,8 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
                     affine=sample.get("affine"), min_score=min_score,
                     save_images=save_images,
                     transform_meta=sample.get("transform_meta"),
+                    orig_shape=sample.get("orig_shape"),
+                    orig_affine=sample.get("orig_affine"),
                 )
     return results, gt
 

@@ -11,6 +11,12 @@ transforming images and boxes jointly:
   * affine scale about the center + voxel translation, trilinear resample
     (RandAffined translate/scale parity; boxes transform analytically —
     equivalent geometry to transforming the seg then re-deriving boxes)
+  * isotropic random zoom about the center, keep_size (RandZoomd parity,
+    datasets.py:110; boxes scale analytically)
+  * grid distortion: per-axis piecewise-linear cell stretching, renormalized
+    to cover the full extent (RandGridDistortiond parity, datasets.py:111;
+    the per-axis map is monotonic, so axis-aligned boxes map corner-to-
+    corner through its inverse)
   * intensity shift / scale             (RandShift/ScaleIntensityd parity)
 
 All branches are lax.cond-free: transforms are applied unconditionally and
@@ -36,22 +42,50 @@ class AugmentConfig:
     affine_prob: float = 0.0  # reference "translate"/"scale" -> affine
     translate_range: float = 3.0  # voxels
     scale_range: float = 0.15
+    zoom_prob: float = 0.0  # isotropic zoom, keep_size (RandZoomd)
+    min_zoom: float = 0.9
+    max_zoom: float = 1.1
+    grid_distort_prob: float = 0.0  # RandGridDistortiond
+    grid_distort_cells: int = 5
+    grid_distort_limit: float = 0.03
     shift_intensity: float = 0.0  # offsets
     shift_prob: float = 1.0
     scale_intensity: float = 0.0  # factors
     scale_prob: float = 1.0
 
+    KNOWN_NAMES = frozenset({
+        "flip", "rotate90", "rotate90d", "translate", "scale", "affine",
+        "zoom", "griddistortion", "shiftintensity", "scaleintensity",
+    })
+
     @staticmethod
     def from_names(names) -> "AugmentConfig":
-        """Build from reference-style augmentation name lists (train.py:132-145)."""
-        kwargs = {}
+        """Build from reference-style augmentation name lists (train.py:132-145).
+
+        zoom / griddistortion use MONAI's RandZoomd / RandGridDistortiond
+        defaults (prob 0.1, zoom [0.9, 1.1]; 5 cells, distort limit 0.03 —
+        the reference registers both in its registry, datasets.py:110-111,
+        without overriding). Unknown names raise instead of silently doing
+        nothing.
+        """
         names = set(names or ())
+        unknown = names - AugmentConfig.KNOWN_NAMES
+        if unknown:
+            raise ValueError(
+                f"unknown augmentation name(s) {sorted(unknown)}; "
+                f"known: {sorted(AugmentConfig.KNOWN_NAMES)}"
+            )
+        kwargs = {}
         if "flip" in names:
             kwargs["flip_axes"] = (0, 1, 2)
         if "rotate90" in names or "rotate90d" in names:
             kwargs["rot90_planes"] = ((1, 2), (0, 1), (0, 2))
         if "translate" in names or "scale" in names or "affine" in names:
             kwargs["affine_prob"] = 0.7
+        if "zoom" in names:
+            kwargs["zoom_prob"] = 0.1
+        if "griddistortion" in names:
+            kwargs["grid_distort_prob"] = 0.1
         if "shiftintensity" in names:
             kwargs["shift_intensity"] = 0.1
         if "scaleintensity" in names:
@@ -64,6 +98,8 @@ class AugmentConfig:
             not self.flip_axes
             and not self.rot90_planes
             and self.affine_prob == 0.0
+            and self.zoom_prob == 0.0
+            and self.grid_distort_prob == 0.0
             and self.shift_intensity == 0.0
             and self.scale_intensity == 0.0
         )
@@ -178,6 +214,67 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         lo_vox = s * (boxes[..., :3] * shape - center) + center + t
         hi_vox = s * (boxes[..., 3:] * shape - center) + center + t
         boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
+
+    if config.zoom_prob > 0.0:
+        rng, kdo, kz = jax.random.split(rng, 3)
+        do = jax.random.bernoulli(kdo, config.zoom_prob)
+        z = jax.random.uniform(kz, (), minval=config.min_zoom, maxval=config.max_zoom)
+        z = jnp.where(do, z, 1.0)
+        center = (shape - 1.0) / 2.0
+        # keep_size zoom about the center: output o samples input at
+        # c + (o - c)/z — separable, so build 1-D mapped axes then meshgrid
+        axes = [
+            center[ax] + (jnp.arange(img.shape[ax], dtype=jnp.float32) - center[ax]) / z
+            for ax in range(3)
+        ]
+        coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        img = trilinear_resample(img, coords)
+        # a feature at input voxel p lands at output voxel c + (p - c) * z
+        lo_vox = center + (boxes[..., :3] * shape - center) * z
+        hi_vox = center + (boxes[..., 3:] * shape - center) * z
+        boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
+
+    if config.grid_distort_prob > 0.0:
+        rng, kdo, kd = jax.random.split(rng, 3)
+        do = jax.random.bernoulli(kdo, config.grid_distort_prob)
+        n_cells = config.grid_distort_cells
+        deltas = jax.random.uniform(
+            kd, (3, n_cells),
+            minval=-config.grid_distort_limit, maxval=config.grid_distort_limit,
+        )
+        deltas = jnp.where(do, deltas, 0.0)
+        axes = []
+        inv_knots = []  # (input positions, output positions) per axis
+        out_knots = []
+        for ax in range(3):
+            size = float(img.shape[ax])
+            widths = (size / n_cells) * (1.0 + deltas[ax])
+            knots_in = jnp.concatenate([jnp.zeros(1), jnp.cumsum(widths)])
+            # renormalize so the full extent still maps to the full extent
+            # (pure content redistribution: no black borders, boxes stay in
+            # [0, 1])
+            knots_in = knots_in * (size / knots_in[-1])
+            knots_out = jnp.linspace(0.0, size, n_cells + 1)
+            axes.append(
+                jnp.interp(jnp.arange(img.shape[ax], dtype=jnp.float32),
+                           knots_out, knots_in)
+            )
+            inv_knots.append(knots_in)
+            out_knots.append(knots_out)
+        coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        img = trilinear_resample(img, coords)
+        # per-axis map is monotonic: box corners map through its inverse
+        # (interp with swapped knots)
+        new_cols = []
+        for ax in range(3):
+            size = float(img.shape[ax])
+            lo = jnp.interp(boxes[..., ax] * size, inv_knots[ax], out_knots[ax])
+            hi = jnp.interp(boxes[..., ax + 3] * size, inv_knots[ax], out_knots[ax])
+            new_cols.append((lo / size, hi / size))
+        boxes = jnp.stack(
+            [new_cols[0][0], new_cols[1][0], new_cols[2][0],
+             new_cols[0][1], new_cols[1][1], new_cols[2][1]], axis=-1
+        )
 
     if config.shift_intensity > 0.0:
         rng, kdo, kv = jax.random.split(rng, 3)

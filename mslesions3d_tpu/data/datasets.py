@@ -19,6 +19,7 @@ input sequences stack as channels.
 from __future__ import annotations
 
 import os
+import re
 import warnings
 from pathlib import Path
 
@@ -190,10 +191,13 @@ class SyntheticDataModule(_BaseDataModule):
             root = root / dataset_name
         self.data_dir = root
 
+        # subject id = everything between "sub-" and the "_image" suffix —
+        # no fixed width, so >9,999 images or non-numeric ids don't collide
+        sub_re = re.compile(r"sub-(.+?)_image\b")
         self.subjects_list = sorted(
-            s.name.replace("sub-", "")[:4]
+            m.group(1)
             for s in (self.data_dir / "images").iterdir()
-            if "sub-" in s.name
+            if (m := sub_re.search(s.name))
         )
         if percentage > 0:
             self.subjects_list = self.subjects_list[: int(percentage * len(self.subjects_list))]
@@ -325,6 +329,9 @@ class LesionsDataModule(_BaseDataModule):
             "affine": affine,
             "pixdim": pixdim,
             "subject": f"{center}/{sub}",
+            # on-disk geometry, kept for original-space prediction export
+            "orig_affine": np.array(affine, np.float64),
+            "orig_shape": tuple(volumes[0].shape[:3]),
         }
         # pipeline parity (datasets.py:195-236): orient LPI -> 1mm spacing ->
         # crop foreground margin 5 -> normalize nonzero -> pad/crop -> boxes

@@ -42,9 +42,10 @@ def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
     """Reorder/flip volume axes so axis i points along axcodes[i].
 
     Parity: MONAI Orientationd (datasets.py:201). Works on 3D volumes.
-    Returns (img, seg, affine, perm) where perm maps new axis i to the
-    original axis perm[i] — per-axis metadata (pixdim) must be permuted
-    with it.
+    Returns (img, seg, affine, perm, flips): perm maps new axis i to the
+    original axis perm[i] (per-axis metadata like pixdim must be permuted
+    with it) and flips[i] says whether new axis i was reversed — together
+    they define the inverse map back to the on-disk grid.
     """
     targets = [_AXCODE_DIRS[c] for c in axcodes]
     current = io_orientation(affine)
@@ -78,7 +79,7 @@ def orient_to_axcodes(img, seg, affine, axcodes: str = "LPI"):
         if flips[new_ax]:
             new_affine[:3, 3] += affine[:3, src] * (np.asarray(shape)[src] - 1)
     new_affine[:3, :3] = affine[:3, :3] @ pa[:3, :3]
-    return apply(img), apply(seg), new_affine, perm
+    return apply(img), apply(seg), new_affine, perm, flips
 
 
 # ---------------------------------------------------------------------------
@@ -103,8 +104,13 @@ def t_spacing(sample, pixdim=(1.0, 1.0, 1.0), mode=("bilinear", "nearest")):
 
 
 def t_orientation(sample, axcodes="LPI"):
-    img, seg, affine, perm = orient_to_axcodes(
+    pre_shape = list(sample["img"].shape[:3])
+    img, seg, affine, perm, flips = orient_to_axcodes(
         sample["img"], sample.get("seg"), sample.get("affine", np.eye(4)), axcodes
+    )
+    sample.setdefault("transform_meta", []).append(
+        {"op": "orient", "perm": list(perm), "flips": [bool(f) for f in flips],
+         "orig_shape": pre_shape}
     )
     sample["img"], sample["affine"] = img, affine
     if seg is not None:
@@ -240,10 +246,11 @@ def inverse_map_boxes(boxes_frac: np.ndarray, final_shape, transform_meta,
     """Map fractional boxes in final (network) space back to original voxels.
 
     Walks the recorded transform_meta backwards (pad/crop shift, foreground
-    crop offset) and finally undoes the isotropic resampling if pixdim_zoom
-    (original_spacing -> 1mm zoom factors) is given. Returns voxel-space
-    corner boxes in the ORIGINAL image grid. This is the box-level inverse of
-    the reference's MONAI inverse-transform save path (predict.py:284-304).
+    crop offset, spacing zoom, orientation permutation+flips) and finally
+    undoes an extra resampling if pixdim_zoom (original_spacing -> 1mm zoom
+    factors) is given. Returns voxel-space corner boxes in the ORIGINAL
+    on-disk image grid. This is the box-level inverse of the reference's
+    MONAI inverse-transform save path (predict.py:284-304).
     """
     boxes = np.asarray(boxes_frac, np.float64) * np.asarray(tuple(final_shape) * 2)
     for meta in reversed(transform_meta or []):
@@ -259,6 +266,23 @@ def inverse_map_boxes(boxes_frac: np.ndarray, final_shape, transform_meta,
             zoom = np.asarray(meta["zoom"], np.float64)
             boxes[:, :3] /= zoom
             boxes[:, 3:] /= zoom
+        elif meta["op"] == "orient":
+            # oriented axis i came from disk axis perm[i] (flipped if
+            # flips[i]); undo flips in oriented space (continuous corner
+            # coords: lo/hi swap under x -> S - x), then scatter columns
+            # back to their disk axes
+            perm = meta["perm"]
+            flips = meta["flips"]
+            orig_shape = np.asarray(meta["orig_shape"], np.float64)
+            out = np.empty_like(boxes)
+            for i in range(3):
+                lo, hi = boxes[:, i], boxes[:, i + 3]
+                if flips[i]:
+                    size = orig_shape[perm[i]]
+                    lo, hi = size - hi, size - lo
+                out[:, perm[i]] = lo
+                out[:, perm[i] + 3] = hi
+            boxes = out
     if pixdim_zoom is not None:
         zoom = np.asarray(pixdim_zoom, np.float64)  # orig -> resampled factor
         boxes[:, :3] /= zoom

@@ -57,11 +57,17 @@ def make_sliding_window_detector(
     min_score: float | None = None,
     max_overlap: float | None = None,
     top_k: int | None = None,
+    per_patch_k: int | None = None,
 ):
     """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
 
     Returns a host-callable that runs the jitted patch pipeline. Detections
     come back in GLOBAL fractional coordinates of the full volume.
+
+    ``per_patch_k`` caps detections kept per patch BEFORE stitching
+    (default max(top_k // 2, 16)); a lesion-dense patch that saturates it
+    silently loses detections, so raise it (up to top_k) when per-patch
+    counts can approach the cap. The cap is announced at build time.
     """
     model = SSD3D(config)
     priors = jnp.asarray(model_priors(config))
@@ -78,7 +84,14 @@ def make_sliding_window_detector(
     min_score = config.min_score if min_score is None else min_score
     max_overlap = config.max_overlap if max_overlap is None else max_overlap
     top_k = config.top_k if top_k is None else top_k
-    per_patch_k = max(top_k // 2, 16)
+    if per_patch_k is None:
+        per_patch_k = max(top_k // 2, 16)
+    print(
+        f"[sliding_window] {n_patches} patches of {tuple(patch)} over "
+        f"{tuple(volume_shape)}; keeping <= {per_patch_k} detections/patch "
+        f"before stitching (pass per_patch_k to raise)",
+        flush=True,
+    )
 
     vol_size = jnp.asarray(volume_shape, jnp.float32)
     patch_size = jnp.asarray(patch, jnp.float32)

@@ -50,6 +50,30 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
 
+    def log_histograms(self, tree, step: int, prefix: str = "epoch/"):
+        """Per-leaf histograms of a pytree (e.g. the gradient tree).
+
+        Parity: the reference's on_after_backward logs every parameter's
+        gradient histogram to TB as "epoch/<name>" every 25 steps
+        (lesions3d/ssd3d.py:729-738). JSONL gets nothing (too big); wandb
+        gets wandb.Histogram when active.
+        """
+        if self._tb is None and self._wandb is None:
+            return
+        import jax
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0]
+        for path, leaf in flat:
+            name = prefix + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            values = np.asarray(leaf, np.float32).ravel()
+            if self._tb is not None:
+                self._tb.add_histogram(name, values, step)
+            if self._wandb is not None:
+                self._wandb.log({name: self._wandb.Histogram(values)}, step=step)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

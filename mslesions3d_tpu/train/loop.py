@@ -5,13 +5,28 @@ ssd3d.py:467-691) with an explicit loop around jitted steps:
 
 * per-step cosine schedule (inside the optimizer — parity with the
   scheduler-stepped-every-step quirk, ssd3d.py:527-529);
-* validation every epoch: losses averaged over batches -> avg_val_loss;
+* validation every epoch: losses averaged over batches (weighted by the
+  real sample count so padded partial batches don't bias the mean) ->
+  avg_val_loss;
 * detection metrics (mAP/P/R/F1 at IoU 0.1 and 0.5) on validation every
   ``compute_metric_every_n_epochs`` epochs and on train every 2n epochs
-  (ssd3d.py:499, 563);
+  (ssd3d.py:499, 563), computed per batch and averaged over batches like
+  the reference's *_epoch_end hooks (ssd3d.py:588-690) — NOT one global
+  mAP over the epoch's pooled detections (the two aggregations differ);
+  train-epoch metrics come from the TRAINING forward (augmented batch),
+  not an extra eval forward;
+* gradient histograms every ``grad_hist_every_n_steps`` steps
+  (ssd3d.py:729-738) and the parameter-L1 scalar hp_metric/parameter_sizes
+  on train-metric epochs (ssd3d.py:689-690);
 * ModelCheckpoint(top-3, avg_val_loss, min) + EarlyStopping(patience 5 on
   total_loss/validation) (train.py:171-180);
 * stop on max_steps (default 4000) or max_epochs (train.py:57-58, 182).
+
+The hot loop is sync-free: per-step metrics stay on device, the host only
+converts them on the logging cadence (``log_every_n_steps``) and at epoch
+end in one bulk device_get, so dispatch runs ahead of the device and the
+prefetch pipeline (data/prefetch.py) actually overlaps. The non-finite-loss
+streak is carried on device in TrainState and checked on the same cadence.
 """
 
 from __future__ import annotations
@@ -53,8 +68,12 @@ class TrainerConfig:
     use_wandb: bool = False
     data_parallel: bool = False  # shard batches over all visible devices
     hard_negative_mining: bool = False
-    log_every_n_steps: int = 1
-    max_nonfinite_streak: int = 25  # abort after this many consecutive NaN steps
+    log_every_n_steps: int = 10
+    grad_hist_every_n_steps: int = 25  # TB grad histograms (0 = off)
+    # abort after this many consecutive non-finite steps; detected on the
+    # log_every_n_steps cadence, so the actual abort happens within
+    # max_nonfinite_streak + log_every_n_steps steps of the first blip
+    max_nonfinite_streak: int = 25
     verbose: bool = True
 
 
@@ -62,40 +81,52 @@ class Trainer:
     def __init__(self, trainer_config: TrainerConfig):
         self.cfg = trainer_config
 
-    def _detection_metrics(self, detections, batch, prefix, accum):
-        """Accumulate ragged detections + GT for epoch-level mAP."""
-        det = {k: np.asarray(v) for k, v in detections.items()}
-        keep = np.asarray(batch["batch_mask"])
-        det = {k: v[keep] for k, v in det.items()}
-        db, dl, ds = detections_to_lists(det)
-        accum[prefix]["det"].append((db, dl, ds))
-        boxes = np.asarray(batch["boxes"])[keep]
-        labels = np.asarray(batch["labels"])[keep]
-        mask = np.asarray(batch["box_mask"])[keep]
-        gt_b = [boxes[i][mask[i]] for i in range(boxes.shape[0])]
-        gt_l = [labels[i][mask[i]] for i in range(labels.shape[0])]
-        accum[prefix]["gt"].append((gt_b, gt_l))
+    def _detection_metrics(self, detections, boxes, labels, box_mask, batch_mask,
+                           prefix, accum):
+        """Queue one batch's detections + GT for epoch metrics.
+
+        Everything is appended as-is (device arrays stay on device) — no
+        sync happens here; _finalize_detection_metrics does one bulk
+        device_get at epoch end so dispatch keeps running ahead.
+        """
+        accum[prefix].append(
+            {"det": detections, "boxes": boxes, "labels": labels,
+             "box_mask": box_mask, "batch_mask": batch_mask}
+        )
 
     def _finalize_detection_metrics(self, accum, prefix, config, logs, tag):
-        det_b, det_l, det_s, gt_b, gt_l = [], [], [], [], []
-        for db, dl, ds in accum[prefix]["det"]:
-            det_b.extend(db)
-            det_l.extend(dl)
-            det_s.extend(ds)
-        for gb, gl in accum[prefix]["gt"]:
-            gt_b.extend(gb)
-            gt_l.extend(gl)
-        diffs = [np.zeros(len(l), bool) for l in gt_l]
+        """Per-batch mAP/P/R/F1 averaged over batches (reference parity:
+        *_epoch_end averages the per-batch metric dicts, ssd3d.py:588-690 —
+        a different number than one global mAP over pooled detections)."""
+        batches = jax.device_get(accum[prefix])
+        per_iou = {0.1: [], 0.5: []}
+        for b in batches:
+            keep = np.asarray(b["batch_mask"])
+            det = {k: np.asarray(v)[keep] for k, v in b["det"].items()}
+            db, dl, ds = detections_to_lists(det)
+            boxes = np.asarray(b["boxes"])[keep]
+            labels = np.asarray(b["labels"])[keep]
+            mask = np.asarray(b["box_mask"])[keep]
+            gt_b = [boxes[i][mask[i]] for i in range(boxes.shape[0])]
+            gt_l = [labels[i][mask[i]] for i in range(labels.shape[0])]
+            diffs = [np.zeros(len(l), bool) for l in gt_l]
+            for iou in per_iou:
+                detail = metrics_lib.calculate_mAP(
+                    db, dl, ds, gt_b, gt_l, diffs,
+                    n_classes=config.n_classes, min_overlap=iou,
+                    return_detail=True,
+                )
+                per_iou[iou].append(detail)
         for iou, suffix in ((0.1, "IoU_0.1"), (0.5, "IoU_0.5")):
-            detail = metrics_lib.calculate_mAP(
-                det_b, det_l, det_s, gt_b, gt_l, diffs,
-                n_classes=config.n_classes, min_overlap=iou, return_detail=True,
-            )
-            logs[f"mAP/{tag}_{suffix}"] = detail["mAP"]
+            details = per_iou[iou]
+            if not details:
+                continue
+            logs[f"mAP/{tag}_{suffix}"] = float(np.mean([d["mAP"] for d in details]))
             if config.n_classes == 2:
-                logs[f"precision/{tag}_{suffix}"] = detail["precision"]
-                logs[f"recall/{tag}_{suffix}"] = detail["recall"]
-                logs[f"f1_score/{tag}_{suffix}"] = detail["f1_score"]
+                for key in ("precision", "recall", "f1_score"):
+                    logs[f"{key}/{tag}_{suffix}"] = float(
+                        np.mean([d[key] for d in details])
+                    )
 
     def fit(self, config: SSD3DConfig, datamodule, augment: AugmentConfig | None = None,
             resume: str | None = None):
@@ -119,6 +150,14 @@ class Trainer:
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
         )
+        # instrumented variant: decode+NMS on the training forward (train
+        # metric epochs) + raw grads (TB histograms); compiled separately so
+        # the plain hot path carries no extra outputs
+        train_step_instr = make_train_step(
+            config, model, priors, augment,
+            hard_negative_mining=cfg.hard_negative_mining,
+            with_detections=True, return_grads=cfg.grad_hist_every_n_steps > 0,
+        )
         eval_step = make_eval_step(
             config, model, priors, with_detections=True,
             hard_negative_mining=cfg.hard_negative_mining,
@@ -138,7 +177,14 @@ class Trainer:
         epoch = start_epoch
         done = False
         history = []
-        nonfinite_streak = 0
+
+        def check_streak(metrics_host):
+            streak = int(metrics_host.get("nonfinite_streak", 0))
+            if streak >= cfg.max_nonfinite_streak:
+                raise FloatingPointError(
+                    f"{streak} consecutive non-finite losses at step {step} "
+                    f"— aborting (try a lower learning rate)"
+                )
 
         while not done:
             if cfg.max_epochs is not None and epoch >= cfg.max_epochs:
@@ -148,7 +194,7 @@ class Trainer:
             compute_train_metrics = (
                 epoch % (cfg.compute_metric_every_n_epochs * 2) == 0
             )
-            accum = {"train": {"det": [], "gt": []}, "val": {"det": [], "gt": []}}
+            accum = {"train": [], "val": []}
             t0 = time.time()
             train_losses = []
             # prefetch: host batch assembly + host->device transfer overlap
@@ -161,37 +207,57 @@ class Trainer:
             )
             for batch in batches:
                 rng, step_rng = jax.random.split(rng)
-                state, m = train_step(state, batch, step_rng)
-                step += 1
-                train_losses.append(m)
-                if float(m.get("nonfinite", 0.0)) > 0:
-                    nonfinite_streak += 1
-                    if nonfinite_streak >= cfg.max_nonfinite_streak:
-                        raise FloatingPointError(
-                            f"{nonfinite_streak} consecutive non-finite losses at "
-                            f"step {step} — aborting (try a lower learning rate)"
-                        )
+                grad_hist = (
+                    cfg.grad_hist_every_n_steps > 0
+                    and step % cfg.grad_hist_every_n_steps == 0
+                )
+                if compute_train_metrics or grad_hist:
+                    state, m = train_step_instr(state, batch, step_rng)
                 else:
-                    nonfinite_streak = 0
+                    state, m = train_step(state, batch, step_rng)
+                step += 1
+                # device arrays only — converted in bulk at epoch end
+                train_losses.append(
+                    {k: m[k] for k in ("total_loss", "conf_loss", "loc_loss")}
+                )
+                if grad_hist:
+                    logger.log_histograms(m["grads"], step - 1, prefix="epoch/")
+                if compute_train_metrics:
+                    self._detection_metrics(
+                        m["detections"], m["aug_boxes"], m["aug_labels"],
+                        m["aug_box_mask"], batch["batch_mask"], "train", accum,
+                    )
                 if step % cfg.log_every_n_steps == 0:
+                    host_m = jax.device_get(
+                        {k: m[k] for k in ("total_loss", "conf_loss", "loc_loss",
+                                            "nonfinite_streak", "grad_norm")}
+                    )
+                    check_streak(host_m)
                     logger.log(
                         {
-                            "total_loss/training": m["total_loss"],
-                            "confidence_loss/training": m["conf_loss"],
-                            "localization_loss/training": m["loc_loss"],
+                            "total_loss/training": host_m["total_loss"],
+                            "confidence_loss/training": host_m["conf_loss"],
+                            "localization_loss/training": host_m["loc_loss"],
+                            "grad_norm/training": host_m["grad_norm"],
                         },
                         step,
                     )
-                if compute_train_metrics:
-                    ev = eval_step(state, batch)
-                    self._detection_metrics(ev["detections"], batch, "train", accum)
                 if cfg.max_steps > 0 and step >= cfg.max_steps:
                     done = True
                     break
+            # epoch boundary: one authoritative streak check (covers runs
+            # whose divergence never lands on the logging cadence)
+            check_streak({"nonfinite_streak": jax.device_get(state.nonfinite_streak)})
 
             epoch_logs = {}
-            if compute_train_metrics and accum["train"]["det"]:
+            if compute_train_metrics and accum["train"]:
                 self._finalize_detection_metrics(accum, "train", config, epoch_logs, "training")
+                # parameter L1 scalar, logged with train metrics like the
+                # reference's training_epoch_end (ssd3d.py:689-690)
+                epoch_logs["hp_metric/parameter_sizes"] = float(
+                    sum(np.abs(np.asarray(p)).sum()
+                        for p in jax.tree_util.tree_leaves(jax.device_get(state.params)))
+                )
 
             # ---- validation ----
             compute_val_metrics = epoch % cfg.compute_metric_every_n_epochs == 0
@@ -202,26 +268,40 @@ class Trainer:
                     batch = shard_batch(batch, mesh)
                 ev = eval_step(state, batch)
                 val_losses.append(
-                    {k: ev[k] for k in ("total_loss", "conf_loss", "loc_loss")}
+                    {k: ev[k] for k in ("total_loss", "conf_loss", "loc_loss",
+                                         "n_valid")}
                 )
                 if compute_val_metrics:
-                    self._detection_metrics(ev["detections"], batch, "val", accum)
+                    self._detection_metrics(
+                        ev["detections"], batch["boxes"], batch["labels"],
+                        batch["box_mask"], batch["batch_mask"], "val", accum,
+                    )
 
-            avg_val = float(np.mean([float(v["total_loss"]) for v in val_losses])) if val_losses else float("nan")
+            # one bulk transfer for the epoch's train + val losses
+            train_losses = jax.device_get(train_losses)
+            val_losses = jax.device_get(val_losses)
+
+            def weighted_val(key):
+                # per-batch losses are means over VALID samples; weight by
+                # that count so a padded partial final batch doesn't skew
+                # the epoch mean (and checkpoint selection with it)
+                if not val_losses:
+                    return float("nan")
+                w = np.asarray([v["n_valid"] for v in val_losses], np.float64)
+                x = np.asarray([v[key] for v in val_losses], np.float64)
+                return float((x * w).sum() / max(w.sum(), 1.0))
+
+            avg_val = weighted_val("total_loss")
             epoch_logs.update(
                 {
                     "avg_val_loss": avg_val,
                     "total_loss/validation": avg_val,
-                    "confidence_loss/validation": float(
-                        np.mean([float(v["conf_loss"]) for v in val_losses])
-                    ) if val_losses else float("nan"),
-                    "localization_loss/validation": float(
-                        np.mean([float(v["loc_loss"]) for v in val_losses])
-                    ) if val_losses else float("nan"),
+                    "confidence_loss/validation": weighted_val("conf_loss"),
+                    "localization_loss/validation": weighted_val("loc_loss"),
                     "hp_metric/lr": float(schedule(step)),
                 }
             )
-            if compute_val_metrics and accum["val"]["det"]:
+            if compute_val_metrics and accum["val"]:
                 self._finalize_detection_metrics(accum, "val", config, epoch_logs, "validation")
 
             logger.log(epoch_logs, step)

@@ -24,6 +24,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # consecutive non-finite-loss steps, carried ON DEVICE so the training
+    # loop never has to sync per step just to watch for divergence; the host
+    # checks it on the (much coarser) logging cadence
+    nonfinite_streak: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats=None):
@@ -127,5 +131,6 @@ def create_train_state(model, config, rng, kaiming: bool = True) -> TrainState:
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
+        nonfinite_streak=jnp.asarray(0, jnp.int32),
         tx=tx,
     )

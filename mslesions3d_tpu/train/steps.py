@@ -26,14 +26,25 @@ from ..ops.nms import detect_objects
 def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     augment: AugmentConfig | None = None,
                     hard_negative_mining: bool = False, donate: bool = True,
-                    skip_nonfinite: bool = True):
+                    skip_nonfinite: bool = True, with_detections: bool = False,
+                    return_grads: bool = False):
     """Returns jitted fn(state, batch, rng) -> (state, metrics).
 
     Failure detection (SURVEY.md §5: the reference's only failure handling is
     NaN guards that raise and kill the run, ssd3d.py:258-261, 938-940): with
     ``skip_nonfinite`` a non-finite loss skips the parameter/optimizer update
-    for that step and reports metrics["nonfinite"]=1; the trainer aborts
-    after a configurable streak instead of dying on the first blip.
+    for that step and reports metrics["nonfinite"]=1. The consecutive-streak
+    counter lives in TrainState (on device) and is mirrored into
+    metrics["nonfinite_streak"], so the trainer only inspects it on the
+    logging cadence instead of forcing a device sync every step.
+
+    ``with_detections`` additionally runs decode+NMS on the TRAINING
+    forward's outputs and returns the augmented GT alongside — the
+    reference computes train-epoch mAP from the training forward
+    (ssd3d.py:499-518), not from a second eval forward. ``return_grads``
+    returns the raw gradient tree (for the every-25-steps TB histograms,
+    ssd3d.py:729-738). Both add outputs, so they are built as a separate
+    compiled variant used only on metric/histogram steps.
     """
     priors_center = jnp.asarray(priors_center)
     augment = augment or AugmentConfig()
@@ -65,11 +76,11 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                 hard_negative_mining=hard_negative_mining,
             )
             total = conf_loss + config.alpha * loc_loss
-            return total, (conf_loss, loc_loss, mutated["batch_stats"])
+            return total, (conf_loss, loc_loss, mutated["batch_stats"], locs, scores)
 
-        (total, (conf_loss, loc_loss, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (total, (conf_loss, loc_loss, new_stats, locs, scores)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
         updated = state.apply_gradients(grads, new_batch_stats=new_stats)
         if skip_nonfinite:
             finite = jnp.isfinite(total)
@@ -82,6 +93,11 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
         else:
             finite = jnp.asarray(True)
             new_state = updated
+        new_state = new_state.replace(
+            nonfinite_streak=jnp.where(
+                finite, 0, state.nonfinite_streak + 1
+            ).astype(jnp.int32)
+        )
         # global gradient norm: the per-step observability analog of the
         # reference's every-25-steps gradient histograms (ssd3d.py:729-738)
         grad_norm = jnp.sqrt(
@@ -94,8 +110,22 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             "loc_loss": loc_loss,
             "n_positives": (box_mask.sum()).astype(jnp.float32),
             "nonfinite": (~finite).astype(jnp.float32),
+            "nonfinite_streak": new_state.nonfinite_streak,
             "grad_norm": grad_norm,
         }
+        if with_detections:
+            metrics["detections"] = detect_objects(
+                locs, scores, priors_center,
+                n_classes=config.n_classes, min_score=config.min_score,
+                max_overlap=config.max_overlap, top_k=config.top_k,
+            )
+            # GT as the model saw it (post-augmentation) — the reference's
+            # train-metric GT is the augmented dataloader output
+            metrics["aug_boxes"] = boxes
+            metrics["aug_labels"] = labels
+            metrics["aug_box_mask"] = box_mask
+        if return_grads:
+            metrics["grads"] = grads
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -126,6 +156,10 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
             "total_loss": conf_loss + config.alpha * loc_loss,
             "conf_loss": conf_loss,
             "loc_loss": loc_loss,
+            # real (unpadded) sample count — partial final batches must be
+            # weighted by it when averaging epoch losses, or avg_val_loss is
+            # biased and checkpoint selection on small val sets follows it
+            "n_valid": batch["batch_mask"].sum().astype(jnp.float32),
         }
         if with_detections:
             out["detections"] = detect_objects(

@@ -97,7 +97,30 @@ def convert_torch_state_dict(state: dict, config) -> tuple[dict, dict]:
         }
 
     if "rescale_factors" in state:
-        params["rescale_factors"] = state["rescale_factors"].reshape(-1)
+        imported = state["rescale_factors"].reshape(-1)
+        from ..models.priors import feature_map_infos
+
+        _, channels = feature_map_infos(
+            config.base_network_config, config.input_size,
+            config.feature_layers, config.width_mult,
+        )
+        expected = channels[min(config.feature_layers)]
+        if imported.shape[0] == expected:
+            params["rescale_factors"] = imported
+        else:
+            # the reference sizes rescale_factors with a DOUBLE width_mult
+            # application (int(int(C*wm)*wm), ssd3d.py:239-241), so for
+            # width_mult != 1 the lengths diverge; the param is unused when
+            # use_l2_rescale is off (the reference ships it disabled), so
+            # keep the framework's init instead of a shape-mismatched import
+            import warnings
+
+            warnings.warn(
+                f"rescale_factors length {imported.shape[0]} != expected "
+                f"{expected} (reference double-applies width_mult); keeping "
+                "the framework initialization (param is inert unless "
+                "use_l2_rescale)"
+            )
 
     return params, batch_stats
 

@@ -298,3 +298,63 @@ def test_inverse_map_boxes_with_zoom():
     # original object spans voxels [4, 7] inclusive on each axis
     np.testing.assert_allclose(recovered[0][:3], [4, 4, 4], atol=1.0)
     np.testing.assert_allclose(recovered[0][3:], [7, 7, 7], atol=1.0)
+
+
+def test_synthetic_subject_ids_arbitrary_width(tmp_path):
+    """Subject parsing must not assume 4-character ids (round-1 finding)."""
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    vol = np.zeros((8, 8, 8), np.float32)
+    for sid in ("0001", "12345", "abc"):
+        save_nifti(root / "images" / f"sub-{sid}_image.nii.gz", vol)
+        save_nifti(root / "labels" / f"sub-{sid}_seg.nii.gz", vol)
+    dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=1)
+    assert dm.subjects_list == ["0001", "12345", "abc"]
+
+
+def test_augment_zoom_geometry():
+    """Zoomed image and analytically-zoomed boxes stay consistent."""
+    shape = (32, 32, 32)
+    boxes = np.array([[8, 8, 8, 22, 22, 22]], np.float32) / np.asarray(shape * 2, np.float32)
+    vol = np.zeros(shape, np.float32)
+    vol[8:23, 8:23, 8:23] = 1.0
+
+    for seed in (0, 1, 2):
+        cfg = AugmentConfig(zoom_prob=1.0, min_zoom=0.8, max_zoom=1.2)
+        img_aug, boxes_aug = augment_sample(
+            jax.random.PRNGKey(seed), jnp.asarray(vol[..., None]), jnp.asarray(boxes), cfg
+        )
+        rederived, _ = boxes_from_segmentation(np.asarray(img_aug)[..., 0] > 0.5, "binary")
+        assert rederived.shape[0] == 1
+        assert _boxes_close(np.asarray(boxes_aug), rederived, tol=1.2 / 32), seed
+
+
+def test_augment_grid_distortion_geometry():
+    """Distorted image and inverse-mapped boxes stay consistent; the full
+    extent still maps onto itself (no black borders)."""
+    shape = (40, 40, 40)
+    boxes = np.array([[10, 8, 12, 28, 26, 30]], np.float32) / np.asarray(shape * 2, np.float32)
+    vol = np.zeros(shape, np.float32)
+    vol[10:29, 8:27, 12:31] = 1.0
+
+    for seed in (0, 3):
+        cfg = AugmentConfig(grid_distort_prob=1.0, grid_distort_limit=0.2)
+        img_aug, boxes_aug = augment_sample(
+            jax.random.PRNGKey(seed), jnp.asarray(vol[..., None]), jnp.asarray(boxes), cfg
+        )
+        img_np = np.asarray(img_aug)[..., 0]
+        rederived, _ = boxes_from_segmentation(img_np > 0.5, "binary")
+        assert rederived.shape[0] == 1
+        assert _boxes_close(np.asarray(boxes_aug), rederived, tol=1.5 / 40), seed
+        # boxes must have actually moved for a 0.2 distortion
+        if seed == 0:
+            assert not np.allclose(np.asarray(boxes_aug), boxes, atol=1e-4)
+
+
+def test_augment_from_names_zoom_griddistortion_and_unknown():
+    cfg = AugmentConfig.from_names(["zoom", "griddistortion"])
+    assert cfg.zoom_prob == 0.1 and cfg.grid_distort_prob == 0.1
+    assert not cfg.identity
+    with pytest.raises(ValueError, match="unknown augmentation"):
+        AugmentConfig.from_names(["zoom", "nonsense"])

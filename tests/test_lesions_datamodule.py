@@ -100,3 +100,71 @@ def test_excluded_subjects(tmp_path):
     )
     # subject 085 is on the reference exclusion list (datasets.py:45)
     assert dm.subjects_list == [("BASEL_INSIDER_OK", "086")]
+
+
+def test_origspace_inverse_and_nifti_export(tmp_path):
+    """Full inverse chain (pad/crop -> crop -> spacing zoom -> orientation)
+    maps detections back onto the on-disk grid, and predict writes an
+    origspace wireframe NIfTI with the original affine (reference
+    predict.py:284-304 parity)."""
+    from mslesions3d_tpu.data.nifti import load_nifti
+    from mslesions3d_tpu.data.transforms import inverse_map_boxes
+    from mslesions3d_tpu.cli.predict import save_subject_predictions
+
+    # sagittal-style acquisition: disk axis 0 along anatomical z with 2mm
+    # spacing (axes permute under LPI), one lesion at known disk voxels
+    shape = (20, 44, 44)
+    affine = np.zeros((4, 4))
+    affine[2, 0] = -2.0
+    affine[1, 1] = -1.0
+    affine[0, 2] = -1.0
+    affine[3, 3] = 1.0
+    base = tmp_path / "CHUV_RIM_OK" / "derivatives" / "registrations" / \
+        "registrations_to_T2star"
+    rng = np.random.default_rng(0)
+    img = np.zeros(shape, np.float32)
+    img[3:17, 6:38, 6:38] = rng.uniform(0.5, 1.5, (14, 32, 32))
+    seg = np.zeros(shape, np.float32)
+    lesion = (slice(8, 12), slice(12, 18), slice(20, 26))
+    seg[lesion] = 1
+    p = base / "derivatives" / "skullstripped" / "sub-001" / "ses-01" / \
+        "sub-001_ses-01_FLAIR.nii.gz"
+    save_nifti(p, img, affine)
+    p = base / "derivatives" / "lesionmasks" / "sub-001" / "ses-01" / \
+        "sub-001_ses-01_labeled_lesions.nii.gz"
+    save_nifti(p, seg, affine)
+
+    dm = LesionsDataModule(
+        data_dir=tmp_path, centers=("CHUV_RIM_OK",), batch_size=1,
+        spatial_size=(48, 48, 48), max_objects=4, cache=True,
+        subject=("CHUV_RIM_OK", "001"),
+    )
+    dm.setup("fit")
+    sample = dm.get_sample(("CHUV_RIM_OK", "001"))
+    assert sample["boxes"].shape[0] == 1
+
+    # treat the GT box (final fractional space) as a detection
+    final_shape = sample["img"].shape[:3]
+    orig = inverse_map_boxes(sample["boxes"], final_shape, sample["transform_meta"])
+    expected = np.array([8, 12, 20, 11, 17, 25], np.float64)  # inclusive idx
+    np.testing.assert_allclose(orig[0], expected, atol=1.5)
+
+    # predict-path export: origspace wireframe NIfTI on the disk grid
+    out = tmp_path / "preds"
+    save_subject_predictions(
+        out, ("CHUV_RIM_OK", "001"), final_shape, sample["boxes"],
+        np.ones(1, np.int64), np.asarray([0.9]), affine=sample["affine"],
+        min_score=0.5, save_images=True,
+        transform_meta=sample["transform_meta"],
+        orig_shape=sample["orig_shape"], orig_affine=sample["orig_affine"],
+    )
+    wire_path = out / "sub-CHUV_RIM_OK_001_preds_origspace.nii.gz"
+    assert wire_path.exists()
+    wire = load_nifti(wire_path)
+    np.testing.assert_allclose(wire.affine, affine, atol=1e-6)
+    assert wire.data.shape == shape
+    nz = np.nonzero(wire.data)
+    lo = np.array([n.min() for n in nz])
+    hi = np.array([n.max() for n in nz])
+    np.testing.assert_allclose(lo, expected[:3], atol=2.0)
+    np.testing.assert_allclose(hi, expected[3:], atol=2.0)

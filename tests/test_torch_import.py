@@ -190,3 +190,30 @@ def test_import_torch_cli(converted, tmp_path):
         jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))), train=False,
     )
     np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_rescale_factors_length_mismatch_skipped(converted):
+    """Reference double-applies width_mult to rescale_factors
+    (ssd3d.py:239-241); a mismatched length must be skipped with a warning,
+    not imported into a broken checkpoint (round-1 advisor finding)."""
+    tm, cfg, _, _ = converted
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    import numpy as np
+
+    state["rescale_factors"] = np.full((7,), 20.0, np.float32)  # wrong length
+    with pytest.warns(UserWarning, match="rescale_factors length"):
+        params, _ = convert_torch_state_dict(state, cfg)
+    assert "rescale_factors" not in params
+
+    # a correctly-sized import passes through
+    from mslesions3d_tpu.models.priors import feature_map_infos
+
+    _, channels = feature_map_infos(
+        cfg.base_network_config, cfg.input_size, cfg.feature_layers, cfg.width_mult
+    )
+    state["rescale_factors"] = np.full(
+        (channels[min(cfg.feature_layers)],), 20.0, np.float32
+    )
+    params, _ = convert_torch_state_dict(state, cfg)
+    assert params["rescale_factors"].shape == (channels[min(cfg.feature_layers)],)

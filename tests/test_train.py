@@ -254,3 +254,44 @@ def test_prefetch_batches_order_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer boom"):
         next(it)
+
+
+def test_eval_step_reports_n_valid_and_weighting(tiny_setup):
+    """Partial batches expose their real sample count so epoch means can be
+    weighted (round-1 finding: padded batches biased avg_val_loss)."""
+    cfg, model, priors, state = tiny_setup
+    ev = make_eval_step(cfg, model, priors)
+    batch = _fake_batch(cfg)
+    batch["batch_mask"][1] = False
+    batch["box_mask"][1] = False
+    out = ev(state, batch)
+    assert float(out["n_valid"]) == 1.0
+
+
+def test_instrumented_train_step_outputs(tiny_setup):
+    """with_detections returns NMS output of the TRAINING forward plus the
+    augmented GT; return_grads returns the raw gradient tree."""
+    cfg, model, priors, state = tiny_setup
+    aug = AugmentConfig(flip_axes=(0, 1, 2))
+    step = make_train_step(cfg, model, priors, augment=aug, donate=False,
+                           with_detections=True, return_grads=True)
+    state, m = step(state, _fake_batch(cfg), jax.random.PRNGKey(5))
+    det = m["detections"]
+    assert det["boxes"].shape[0] == 2 and det["boxes"].shape[-1] == 6
+    assert m["aug_boxes"].shape == (2, 4, 6)
+    assert m["aug_box_mask"].shape == (2, 4)
+    assert set(m["grads"].keys()) == set(state.params.keys())
+
+
+def test_log_histograms(tmp_path):
+    from mslesions3d_tpu.train.logging import MetricsLogger
+
+    logger = MetricsLogger(tmp_path, "hist")
+    tree = {"layer": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))}}
+    logger.log_histograms(tree, step=25, prefix="epoch/")
+    logger.close()
+    try:
+        import tensorboardX  # noqa: F401
+    except ImportError:
+        return  # no TB available: log_histograms must just no-op (it did)
+    assert list((tmp_path / "hist" / "tb").glob("events.*"))
