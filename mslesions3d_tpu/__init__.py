@@ -15,4 +15,4 @@ Layer map (mirrors SURVEY.md §1):
   L6 utils/      labels, analysis & visualization helpers
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -165,6 +165,36 @@ class _BaseDataModule:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def materialize(self, subjects) -> dict:
+        """Stack a subject list into one contiguous array set.
+
+        Returns {"image": (N,D,H,W,C), "boxes": (N,M,6), "labels": (N,M),
+        "box_mask": (N,M)} plus the subject list. This is the host half of
+        DEVICE-RESIDENT training data: the trainer device_puts these arrays
+        once and gathers batches on device by index, so the (slow, possibly
+        tunneled) host->HBM link is crossed once per run instead of once per
+        step — the TPU-native replacement for the reference's DataLoader
+        workers feeding the GPU every step.
+        """
+        imgs, boxes, labels, masks = [], [], [], []
+        for s in subjects:
+            sample = self.get_sample(s)
+            img = sample["img"]
+            if img.ndim == 3:
+                img = img[..., None]
+            imgs.append(img.astype(np.float32))
+            b, l, m = pad_objects(sample["boxes"], sample["labels"], self.max_objects)
+            boxes.append(b)
+            labels.append(l)
+            masks.append(m)
+        return {
+            "image": np.stack(imgs),
+            "boxes": np.stack(boxes),
+            "labels": np.stack(labels),
+            "box_mask": np.stack(masks),
+            "subjects": list(subjects),
+        }
+
 
 class SyntheticDataModule(_BaseDataModule):
     """Artificial-dataset module (reference ExampleDataset, datasets.py:359-485).

@@ -12,6 +12,8 @@ boxes (N,6) fractional corner-form + labels (N,).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 from scipy import ndimage
 
@@ -221,6 +223,66 @@ def t_scale_intensity(sample, minv=0.0, maxv=1.0):
     return sample
 
 
+def t_printer(sample, prefix: str = "", keys=None):
+    """Pipeline debug printer (reference Printer, utils.py:721-732).
+
+    Insert anywhere in a compose to dump what flows through: array keys get
+    shape/dtype/value-range, boxes/labels get counts, everything else its
+    repr. Returns the sample unchanged.
+    """
+    parts = []
+    for k, v in sample.items():
+        if keys is not None and k not in keys:
+            continue
+        if isinstance(v, np.ndarray):
+            rng = f" [{v.min():.3g}, {v.max():.3g}]" if v.size else ""
+            parts.append(f"{k}: {v.dtype}{list(v.shape)}{rng}")
+        elif k == "transform_meta":
+            parts.append(f"{k}: {[m['op'] for m in v]}")
+        else:
+            parts.append(f"{k}: {v!r}")
+    print(f"[printer]{' ' + prefix if prefix else ''} " + " | ".join(parts),
+          flush=True)
+    return sample
+
+
+def t_show_image(sample, out_dir=".", axis: int = 0, keys=("img", "seg")):
+    """Save mid-volume slices as PNGs (reference ShowImage, utils.py:688-718).
+
+    The reference pops up a matplotlib window per sample; headless TPU hosts
+    get the same view written to <out_dir>/<subject>_<key>_ax<axis>.png
+    (falls back to .npy when matplotlib is unavailable). Returns the sample
+    unchanged.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    subject = str(sample.get("subject", "sample")).replace("/", "_")
+    for key in keys:
+        vol = sample.get(key)
+        if vol is None:
+            continue
+        vol3 = vol if vol.ndim == 3 else vol[..., 0]
+        sl = [slice(None)] * 3
+        sl[axis] = vol3.shape[axis] // 2
+        plane = np.asarray(vol3[tuple(sl)], np.float32)
+        stem = out / f"{subject}_{key}_ax{axis}"
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax_ = plt.subplots(figsize=(4, 4))
+            ax_.imshow(plane, cmap="gray")
+            ax_.set_title(f"{subject} {key} axis {axis}")
+            ax_.axis("off")
+            fig.savefig(stem.with_suffix(".png"), dpi=100, bbox_inches="tight")
+            plt.close(fig)
+        except Exception:
+            np.save(stem.with_suffix(".npy"), plane)
+    return sample
+
+
 # Names mirror the reference registry (datasets.py:99-122). Random
 # augmentations (flip/rotate90/zoom/affine/shift/scale intensity) are
 # device-side — see augment.py — and are configured by name through
@@ -233,6 +295,8 @@ HOST_TRANSFORMS = {
     "resize_with_pad_or_crop": t_resize_with_pad_or_crop,
     "bounding_boxes_generator": t_bounding_boxes_generator,
     "scale_intensity": t_scale_intensity,
+    "printer": t_printer,
+    "show_image": t_show_image,
 }
 
 

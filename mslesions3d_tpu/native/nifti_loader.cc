@@ -194,6 +194,22 @@ int msl_nifti_load(const char* path, float* out, int64_t out_len, int normalize)
   const int64_t n =
       static_cast<int64_t>(h.shape[0]) * h.shape[1] * h.shape[2];
   if (n != out_len) return 5;
+  // bounds-check before touching voxel data: a truncated/corrupt file must
+  // produce a clean error code, not an out-of-bounds heap read
+  if (h.shape[0] <= 0 || h.shape[1] <= 0 || h.shape[2] <= 0) return 7;
+  if (h.vox_offset < kHeaderSize) return 7;
+  size_t elem_size = 0;
+  switch (h.datatype) {
+    case 2: case 256:          elem_size = 1; break;
+    case 4: case 512:          elem_size = 2; break;
+    case 8: case 16:           elem_size = 4; break;
+    case 64:                   elem_size = 8; break;
+    default:                   return 6;
+  }
+  if (raw_size < static_cast<size_t>(h.vox_offset) +
+                     static_cast<size_t>(n) * elem_size) {
+    return 7;  // decompressed buffer shorter than the declared volume
+  }
   const uint8_t* data = raw + h.vox_offset;
 
   switch (h.datatype) {

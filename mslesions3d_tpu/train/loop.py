@@ -35,6 +35,7 @@ import dataclasses
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.augment import AugmentConfig
@@ -46,7 +47,12 @@ from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
 from .checkpoints import CheckpointManager, load_checkpoint
 from .logging import MetricsLogger
 from .state import create_train_state, make_optimizer
-from .steps import make_eval_step, make_train_step
+from .steps import (
+    make_eval_step,
+    make_gathered_eval_step,
+    make_gathered_train_step,
+    make_train_step,
+)
 
 
 def array_batch(batch: dict) -> dict:
@@ -68,6 +74,12 @@ class TrainerConfig:
     use_wandb: bool = False
     data_parallel: bool = False  # shard batches over all visible devices
     hard_negative_mining: bool = False
+    # keep the materialized dataset in HBM and gather batches on device by
+    # index (kills the per-step host->device volume transfer — on a tunneled
+    # TPU that transfer, not compute, bounds training). Streaming fallback
+    # for data_parallel, datasets over the byte cap, or < 1 full batch.
+    device_data_cache: bool = True
+    device_cache_max_bytes: int = 4 << 30
     log_every_n_steps: int = 10
     grad_hist_every_n_steps: int = 25  # TB grad histograms (0 = off)
     # abort after this many consecutive non-finite steps; detected on the
@@ -163,6 +175,43 @@ class Trainer:
             hard_negative_mining=cfg.hard_negative_mining,
         )
 
+        # ---- data path ----
+        # Device-resident dataset when it fits in HBM: materialize once,
+        # device_put once, gather batches on device by index. On a tunneled
+        # TPU the per-step host->HBM transfer (megabytes/step) is the
+        # training bottleneck — with the cache the host sends only int32
+        # indices. Falls back to streaming+prefetch for data-parallel
+        # meshes, oversized datasets, or sub-batch-size debug runs.
+        train_data = val_data = host_val = None
+        n_train = n_val = 0
+        if cfg.device_data_cache and mesh is None:
+            host_train = datamodule.materialize(datamodule.trainsubs)
+            host_val = datamodule.materialize(datamodule.testsubs)
+            nbytes = sum(
+                v.nbytes for d in (host_train, host_val)
+                for v in d.values() if isinstance(v, np.ndarray)
+            )
+            n_train = host_train["image"].shape[0]
+            n_val = host_val["image"].shape[0]
+            if nbytes <= cfg.device_cache_max_bytes and n_train >= datamodule.batch_size:
+                arrays = lambda d: {k: jax.device_put(v) for k, v in d.items()
+                                    if isinstance(v, np.ndarray)}
+                train_data = arrays(host_train)
+                val_data = arrays(host_val)
+                if cfg.verbose:
+                    print(f"[data] device-resident cache: {n_train} train / "
+                          f"{n_val} val volumes, {nbytes / 2**20:.0f} MiB HBM")
+            else:
+                host_val = None
+        if train_data is not None:
+            kw = dict(hard_negative_mining=cfg.hard_negative_mining)
+            train_step_g = make_gathered_train_step(config, model, priors, augment, **kw)
+            train_step_instr_g = make_gathered_train_step(
+                config, model, priors, augment, with_detections=True,
+                return_grads=cfg.grad_hist_every_n_steps > 0, **kw)
+            eval_step_g = make_gathered_eval_step(
+                config, model, priors, with_detections=True, **kw)
+
         logger = MetricsLogger(cfg.logdir, cfg.experiment_name, cfg.use_wandb,
                                wandb_config=config.to_json_dict())
         ckpt = CheckpointManager(
@@ -197,24 +246,37 @@ class Trainer:
             accum = {"train": [], "val": []}
             t0 = time.time()
             train_losses = []
-            # prefetch: host batch assembly + host->device transfer overlap
-            # the previous step's execution (the reference's DataLoader
-            # worker analog)
-            batches = prefetch_batches(
-                (array_batch(b) for b in datamodule.train_batches(epoch=epoch)),
-                prefetch=2,
-                sharding=batch_sharding(mesh) if mesh is not None else None,
-            )
+            if train_data is not None:
+                # device-resident path: shuffle indices on host, gather on
+                # device — per-step transfer is one tiny int32 vector
+                B = datamodule.batch_size
+                perm = np.random.default_rng((cfg.seed or 0) + epoch).permutation(n_train)
+                batches = [perm[i:i + B].astype(np.int32)
+                           for i in range(0, n_train - B + 1, B)]
+            else:
+                # streaming path: host batch assembly + host->device transfer
+                # overlap the previous step's execution (the reference's
+                # DataLoader worker analog)
+                batches = prefetch_batches(
+                    (array_batch(b) for b in datamodule.train_batches(epoch=epoch)),
+                    prefetch=2,
+                    sharding=batch_sharding(mesh) if mesh is not None else None,
+                )
             for batch in batches:
                 rng, step_rng = jax.random.split(rng)
                 grad_hist = (
                     cfg.grad_hist_every_n_steps > 0
                     and step % cfg.grad_hist_every_n_steps == 0
                 )
-                if compute_train_metrics or grad_hist:
-                    state, m = train_step_instr(state, batch, step_rng)
+                instrumented = compute_train_metrics or grad_hist
+                if train_data is not None:
+                    fn = train_step_instr_g if instrumented else train_step_g
+                    state, m = fn(state, train_data, jnp.asarray(batch), step_rng)
+                    batch_mask = np.ones(len(batch), bool)
                 else:
-                    state, m = train_step(state, batch, step_rng)
+                    fn = train_step_instr if instrumented else train_step
+                    state, m = fn(state, batch, step_rng)
+                    batch_mask = batch["batch_mask"]
                 step += 1
                 # device arrays only — converted in bulk at epoch end
                 train_losses.append(
@@ -225,7 +287,7 @@ class Trainer:
                 if compute_train_metrics:
                     self._detection_metrics(
                         m["detections"], m["aug_boxes"], m["aug_labels"],
-                        m["aug_box_mask"], batch["batch_mask"], "train", accum,
+                        m["aug_box_mask"], batch_mask, "train", accum,
                     )
                 if step % cfg.log_every_n_steps == 0:
                     host_m = jax.device_get(
@@ -262,20 +324,40 @@ class Trainer:
             # ---- validation ----
             compute_val_metrics = epoch % cfg.compute_metric_every_n_epochs == 0
             val_losses = []
-            for batch in datamodule.val_batches():
-                batch = array_batch(batch)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
-                ev = eval_step(state, batch)
-                val_losses.append(
-                    {k: ev[k] for k in ("total_loss", "conf_loss", "loc_loss",
-                                         "n_valid")}
-                )
-                if compute_val_metrics:
-                    self._detection_metrics(
-                        ev["detections"], batch["boxes"], batch["labels"],
-                        batch["box_mask"], batch["batch_mask"], "val", accum,
+            if val_data is not None:
+                B = datamodule.batch_size
+                for i in range(0, n_val, B):
+                    ids = np.arange(i, i + B)
+                    valid = ids < n_val
+                    ids = np.minimum(ids, n_val - 1).astype(np.int32)
+                    ev = eval_step_g(state, val_data, jnp.asarray(ids),
+                                     jnp.asarray(valid))
+                    val_losses.append(
+                        {k: ev[k] for k in ("total_loss", "conf_loss",
+                                             "loc_loss", "n_valid")}
                     )
+                    if compute_val_metrics:
+                        self._detection_metrics(
+                            ev["detections"], host_val["boxes"][ids],
+                            host_val["labels"][ids],
+                            host_val["box_mask"][ids] & valid[:, None],
+                            valid, "val", accum,
+                        )
+            else:
+                for batch in datamodule.val_batches():
+                    batch = array_batch(batch)
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    ev = eval_step(state, batch)
+                    val_losses.append(
+                        {k: ev[k] for k in ("total_loss", "conf_loss",
+                                             "loc_loss", "n_valid")}
+                    )
+                    if compute_val_metrics:
+                        self._detection_metrics(
+                            ev["detections"], batch["boxes"], batch["labels"],
+                            batch["box_mask"], batch["batch_mask"], "val", accum,
+                        )
 
             # one bulk transfer for the epoch's train + val losses
             train_losses = jax.device_get(train_losses)

@@ -27,7 +27,7 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     augment: AugmentConfig | None = None,
                     hard_negative_mining: bool = False, donate: bool = True,
                     skip_nonfinite: bool = True, with_detections: bool = False,
-                    return_grads: bool = False):
+                    return_grads: bool = False, jit: bool = True):
     """Returns jitted fn(state, batch, rng) -> (state, metrics).
 
     Failure detection (SURVEY.md §5: the reference's only failure handling is
@@ -128,12 +128,36 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             metrics["grads"] = grads
         return new_state, metrics
 
+    if not jit:  # raw body, for composition (e.g. device-gathered batches)
+        return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_gathered_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
+                             augment: AugmentConfig | None = None, **kwargs):
+    """Train step over a DEVICE-RESIDENT dataset: fn(state, data, idx, rng).
+
+    ``data`` is the materialized dataset (datasets.materialize) living in
+    HBM; ``idx`` (B,) selects the batch with an on-device gather, so the
+    host sends a handful of int32s per step instead of megabytes of volumes
+    — the difference between transfer-bound and compute-bound training on a
+    tunneled/remote TPU. All make_train_step options pass through.
+    """
+    body = make_train_step(config, model, priors_center, augment,
+                           jit=False, **{**kwargs, "donate": False})
+    donate = kwargs.get("donate", True)
+
+    def step(state, data, idx, rng):
+        batch = {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+        batch["batch_mask"] = jnp.ones(idx.shape, bool)
+        return body(state, batch, rng)
+
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                    with_detections: bool = True,
-                   hard_negative_mining: bool = False):
+                   hard_negative_mining: bool = False, jit: bool = True):
     """Returns jitted fn(state, batch) -> metrics (+ padded detections).
 
     ``hard_negative_mining`` must match the training flag: otherwise the
@@ -170,6 +194,27 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                 top_k=config.top_k,
             )
         return out
+
+    if not jit:
+        return step
+    return jax.jit(step)
+
+
+def make_gathered_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
+                            **kwargs):
+    """Eval step over a device-resident dataset: fn(state, data, idx, valid).
+
+    ``valid`` (B,) masks padded rows of the final partial batch (gathers
+    clamp out-of-range indices, so padding reuses row 0 and is masked out of
+    every loss/metric downstream).
+    """
+    body = make_eval_step(config, model, priors_center, jit=False, **kwargs)
+
+    def step(state, data, idx, valid):
+        batch = {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+        batch["batch_mask"] = valid
+        batch["box_mask"] = batch["box_mask"] & valid[:, None]
+        return body(state, batch)
 
     return jax.jit(step)
 

@@ -358,3 +358,20 @@ def test_augment_from_names_zoom_griddistortion_and_unknown():
     assert not cfg.identity
     with pytest.raises(ValueError, match="unknown augmentation"):
         AugmentConfig.from_names(["zoom", "nonsense"])
+
+
+def test_debug_transforms(tmp_path, capsys):
+    """Printer/ShowImage equivalents (reference utils.py:688-732, C6)."""
+    from mslesions3d_tpu.data.transforms import t_printer, t_show_image
+
+    img = np.random.default_rng(0).normal(size=(8, 10, 12)).astype(np.float32)
+    s = {"img": img, "seg": (img > 0).astype(np.float32),
+         "subject": "dbg/01", "boxes": np.zeros((2, 6), np.float32)}
+    out = t_printer(s, prefix="after-load")
+    assert out is s
+    text = capsys.readouterr().out
+    assert "after-load" in text and "[8, 10, 12]" in text
+
+    t_show_image(s, out_dir=tmp_path, axis=1)
+    written = list(tmp_path.glob("dbg_01_img_ax1.*"))
+    assert written, list(tmp_path.iterdir())

@@ -60,3 +60,28 @@ def test_rewritten_file_not_served_stale(tmp_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(RuntimeError):
         load_nifti_fast(tmp_path / "nope.nii.gz")
+
+
+def test_truncated_gz_clean_error(tmp_path):
+    """A truncated .nii.gz must raise cleanly, not read out of bounds
+    (round-1 advisor finding)."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from mslesions3d_tpu.data.nifti import save_nifti
+    from mslesions3d_tpu.native import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    path = tmp_path / "x.nii.gz"
+    save_nifti(path, np.ones((12, 13, 14), np.float32))
+    # re-gzip a truncated copy of the decompressed stream: the header (with
+    # its full 12*13*14 volume declaration) survives, the voxel data doesn't
+    plain = gzip.decompress(path.read_bytes())
+    trunc = tmp_path / "trunc.nii.gz"
+    trunc.write_bytes(gzip.compress(plain[: 348 + 100]))
+    with pytest.raises(RuntimeError, match="msl_nifti_load failed with code 7"):
+        native.load_nifti_fast(trunc, normalize=True)

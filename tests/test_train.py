@@ -295,3 +295,38 @@ def test_log_histograms(tmp_path):
     except ImportError:
         return  # no TB available: log_histograms must just no-op (it did)
     assert list((tmp_path / "hist" / "tb").glob("events.*"))
+
+
+def test_gathered_steps_match_streaming(tiny_setup):
+    """Device-resident gather path computes the same losses as feeding the
+    equivalent host batch (same params, same rng)."""
+    from mslesions3d_tpu.train import make_gathered_eval_step, make_gathered_train_step
+
+    cfg, model, priors, state = tiny_setup
+    data_host = _fake_batch(cfg, batch=4, seed=7)
+    data = {k: jnp.asarray(v) for k, v in data_host.items() if k != "batch_mask"}
+
+    idx = np.asarray([2, 0], np.int32)
+    sub_batch = {k: v[idx] for k, v in data_host.items()}
+
+    step = make_train_step(cfg, model, priors, donate=False)
+    gstep = make_gathered_train_step(cfg, model, priors, donate=False)
+    rng = jax.random.PRNGKey(9)
+    _, m_ref = step(state, sub_batch, rng)
+    _, m_g = gstep(state, data, jnp.asarray(idx), rng)
+    np.testing.assert_allclose(
+        float(m_ref["total_loss"]), float(m_g["total_loss"]), rtol=1e-5
+    )
+
+    gev = make_gathered_eval_step(cfg, model, priors)
+    ev = make_eval_step(cfg, model, priors)
+    out_ref = ev(state, sub_batch)
+    out_g = gev(state, data, jnp.asarray(idx), jnp.asarray([True, True]))
+    np.testing.assert_allclose(
+        float(out_ref["total_loss"]), float(out_g["total_loss"]), rtol=1e-5
+    )
+    # padded row is masked: same loss with a clipped garbage index
+    out_pad = gev(state, data, jnp.asarray([2, 99], np.int32),
+                  jnp.asarray([True, False]))
+    assert float(out_pad["n_valid"]) == 1.0
+    assert np.isfinite(float(out_pad["total_loss"]))
