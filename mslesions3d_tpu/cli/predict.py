@@ -45,6 +45,9 @@ def build_parser():
                    choices=["train", "validation", "test", "all"], default="train")
     p.add_argument("-sc", "--min_score", type=float, default=0.5)
     p.add_argument("-k", "--top_k", type=int, default=100)
+    p.add_argument("-mo", "--max_overlap", type=float, default=None,
+                   help="NMS suppression IoU (default: the checkpoint's "
+                        "trained config value)")
     p.add_argument("-o", "--output_dir", type=str, default="../data/predictions/")
     p.add_argument("-si", "--save_images", type=int, default=1)
     p.add_argument("--platform", type=str, default=None,
@@ -178,15 +181,17 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
 
 def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
                     top_k=100, output_dir=None, save_images=True,
-                    sliding_window=False, overlap=0.25):
+                    sliding_window=False, overlap=0.25, max_overlap=None):
     """Run detection over a subset; returns per-subject ragged results.
 
     With ``sliding_window`` volumes are tiled into model-sized patches and
     stitched on device (full-volume inference, new capability vs reference).
+    ``max_overlap`` overrides the checkpoint's NMS suppression IoU.
     """
     model = SSD3D(config)
     priors = model_priors(config)
-    step = make_predict_step(config, model, priors, min_score=min_score, top_k=top_k)
+    step = make_predict_step(config, model, priors, min_score=min_score,
+                             top_k=top_k, max_overlap=max_overlap)
 
     sw_detectors = {}
 
@@ -197,6 +202,7 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
         if shape not in sw_detectors:
             sw_detectors[shape] = make_sliding_window_detector(
                 config, shape, overlap=overlap, min_score=min_score, top_k=top_k,
+                max_overlap=max_overlap,
             )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return sw_detectors[shape](variables, image)
@@ -290,6 +296,7 @@ def main(argv=None):
             dataset, state, config, subset, args.min_score, args.top_k,
             output_dir, bool(args.save_images),
             sliding_window=bool(args.sliding_window), overlap=args.overlap,
+            max_overlap=args.max_overlap,
         )
         for min_iou in (0.5, 0.1):
             m = compute_subjects_mAP(results, gt, config.n_classes, min_iou, output_dir)

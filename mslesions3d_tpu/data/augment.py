@@ -132,6 +132,38 @@ def _rot90_boxes(boxes, a, b, inv_size):
     return boxes.at[..., b + 3].set(hi_a)
 
 
+def _axis_interp_matrix(coords, in_size: int):
+    """Dense 1-D linear-interpolation matrix W (out, in): W @ x == x sampled
+    at fractional positions ``coords``, edge-clamped.
+
+    Row o is the linear hat max(0, 1 - |c_o - i|); row normalization clamps
+    positions outside [0, in_size-1] to the boundary voxel.
+    """
+    w = jnp.maximum(
+        0.0, 1.0 - jnp.abs(coords[:, None] - jnp.arange(in_size, dtype=jnp.float32)[None, :])
+    )
+    return w / jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-8)
+
+
+def separable_resample(img, axis_coords):
+    """Resample (D,H,W,C) at SEPARABLE per-axis fractional coords.
+
+    Axis-aligned warps (zoom, translate+scale affine, per-axis grid
+    distortion) factor into three 1-D interpolations, each a dense
+    interpolation-matrix matmul that runs on the MXU. This replaces
+    point-gather trilinear resampling on TPU: a (64^3, 8)-point gather fused
+    into a training program lowers to ~100+ ms on v5e, while three
+    (S x S) @ (S x S^2 C) matmuls are microseconds.
+    """
+    out = img
+    for ax, coords in enumerate(axis_coords):
+        w = _axis_interp_matrix(coords.astype(jnp.float32), img.shape[ax])
+        out = jnp.moveaxis(
+            jnp.tensordot(w.astype(out.dtype), out, axes=([1], [ax])), 0, ax
+        )
+    return out
+
+
 def trilinear_resample(img, coords):
     """Sample (D,H,W,C) image at fractional voxel coords (D,H,W,3), edge-clamped."""
     d, h, w, _ = img.shape
@@ -197,19 +229,15 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         s = jnp.where(do, s, 1.0)
 
         center = (shape - 1.0) / 2.0
-        grid = jnp.stack(
-            jnp.meshgrid(
-                jnp.arange(img.shape[0], dtype=jnp.float32),
-                jnp.arange(img.shape[1], dtype=jnp.float32),
-                jnp.arange(img.shape[2], dtype=jnp.float32),
-                indexing="ij",
-            ),
-            axis=-1,
-        )
         # forward map T(v) = s*(v - c) + c + t in voxel-index space
-        # (c = (S-1)/2) => sample input at T^{-1}(o)
-        coords = (grid - center - t) / s + center
-        img = trilinear_resample(img, coords)
+        # (c = (S-1)/2) => sample input at T^{-1}(o); the map is axis-aligned
+        # (scale + translate, no rotation), so resampling is separable
+        axes = [
+            (jnp.arange(img.shape[ax], dtype=jnp.float32) - center[ax] - t[ax])
+            / s[ax] + center[ax]
+            for ax in range(3)
+        ]
+        img = separable_resample(img, axes)
         # boxes transform in the same voxel-index space as the resample grid
         lo_vox = s * (boxes[..., :3] * shape - center) + center + t
         hi_vox = s * (boxes[..., 3:] * shape - center) + center + t
@@ -222,13 +250,12 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         z = jnp.where(do, z, 1.0)
         center = (shape - 1.0) / 2.0
         # keep_size zoom about the center: output o samples input at
-        # c + (o - c)/z — separable, so build 1-D mapped axes then meshgrid
+        # c + (o - c)/z — separable 1-D maps per axis
         axes = [
             center[ax] + (jnp.arange(img.shape[ax], dtype=jnp.float32) - center[ax]) / z
             for ax in range(3)
         ]
-        coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
-        img = trilinear_resample(img, coords)
+        img = separable_resample(img, axes)
         # a feature at input voxel p lands at output voxel c + (p - c) * z
         lo_vox = center + (boxes[..., :3] * shape - center) * z
         hi_vox = center + (boxes[..., 3:] * shape - center) * z
@@ -261,8 +288,7 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
             )
             inv_knots.append(knots_in)
             out_knots.append(knots_out)
-        coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
-        img = trilinear_resample(img, coords)
+        img = separable_resample(img, axes)
         # per-axis map is monotonic: box corners map through its inverse
         # (interp with swapped knots)
         new_cols = []

@@ -184,7 +184,10 @@ class Trainer:
         # meshes, oversized datasets, or sub-batch-size debug runs.
         train_data = val_data = host_val = None
         n_train = n_val = 0
-        if cfg.device_data_cache and mesh is None:
+        can_materialize = all(
+            hasattr(datamodule, a) for a in ("materialize", "trainsubs", "testsubs")
+        )  # duck-typed custom datamodules fall back to streaming
+        if cfg.device_data_cache and mesh is None and can_materialize:
             host_train = datamodule.materialize(datamodule.trainsubs)
             host_val = datamodule.materialize(datamodule.testsubs)
             nbytes = sum(

@@ -1,0 +1,27 @@
+"""Driver-deliverable regression tests: __graft_entry__.dryrun_multichip must
+be self-contained (round 1 failed because it relied on the caller to force
+the CPU platform and was poisoned by a stale persistent compile cache)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_dryrun_multichip_subprocess():
+    """Run the dryrun exactly as the driver would: a fresh process with NO
+    platform forcing in the environment — dryrun_multichip must force the
+    virtual CPU mesh itself and print the mesh line."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[dryrun_multichip] n_devices=8" in out.stdout
+    assert "OK" in out.stdout
