@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--device_data_cache", type=int, default=1,
+                   help="keep the materialized dataset in HBM and gather "
+                        "batches on device (0 = stream batches from host)")
+    p.add_argument("--grad_hist_every_n_steps", type=int, default=25,
+                   help="TB gradient-histogram cadence (0 = off)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--max_objects", type=int, default=16)
     p.add_argument("--hard_negative_mining", type=int, default=0)
@@ -173,6 +178,8 @@ def main(argv=None):
         seed=args.seed,
         use_wandb=bool(args.use_wandb),
         data_parallel=bool(args.data_parallel),
+        device_data_cache=bool(args.device_data_cache),
+        grad_hist_every_n_steps=args.grad_hist_every_n_steps,
         hard_negative_mining=bool(args.hard_negative_mining),
         verbose=True,
     ))

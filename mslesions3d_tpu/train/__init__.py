@@ -5,6 +5,7 @@ from .steps import (
     make_predict_step,
     make_gathered_train_step,
     make_gathered_eval_step,
+    make_sharded_gathered_train_step,
 )
 from .checkpoints import CheckpointManager
 from .loop import Trainer, TrainerConfig

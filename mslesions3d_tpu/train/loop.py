@@ -51,6 +51,7 @@ from .steps import (
     make_eval_step,
     make_gathered_eval_step,
     make_gathered_train_step,
+    make_sharded_gathered_train_step,
     make_train_step,
 )
 
@@ -184,9 +185,12 @@ class Trainer:
         # meshes, oversized datasets, or sub-batch-size debug runs.
         train_data = val_data = host_val = None
         n_train = n_val = 0
+        sharded_cache = False
+        n_local = 0
         can_materialize = all(
             hasattr(datamodule, a) for a in ("materialize", "trainsubs", "testsubs")
         )  # duck-typed custom datamodules fall back to streaming
+        kw = dict(hard_negative_mining=cfg.hard_negative_mining)
         if cfg.device_data_cache and mesh is None and can_materialize:
             host_train = datamodule.materialize(datamodule.trainsubs)
             host_val = datamodule.materialize(datamodule.testsubs)
@@ -206,8 +210,39 @@ class Trainer:
                           f"{n_val} val volumes, {nbytes / 2**20:.0f} MiB HBM")
             else:
                 host_val = None
-        if train_data is not None:
-            kw = dict(hard_negative_mining=cfg.hard_negative_mining)
+        elif cfg.device_data_cache and mesh is not None and can_materialize:
+            # data-parallel: shard the materialized dataset over the mesh —
+            # every chip keeps only its subject shard in HBM, samples
+            # shard-locally, and never streams volumes from the host; the
+            # grad all-reduce stays the only cross-chip traffic
+            ndev = int(np.prod(list(mesh.shape.values())))
+            B = datamodule.batch_size
+            if B % ndev == 0 and len(datamodule.trainsubs) >= B:
+                host_train = datamodule.materialize(datamodule.trainsubs)
+                arrays = {k: v for k, v in host_train.items()
+                          if isinstance(v, np.ndarray)}
+                n_train = arrays["image"].shape[0]
+                n_local = -(-n_train // ndev)
+                pad = n_local * ndev - n_train
+                if pad:  # wrap-around duplicates (training-only sampling)
+                    arrays = {k: np.concatenate([v, v[:pad]]) for k, v in arrays.items()}
+                nbytes = sum(v.nbytes for v in arrays.values())
+                if nbytes <= cfg.device_cache_max_bytes * ndev:
+                    sharding = batch_sharding(mesh)
+                    train_data = {k: jax.device_put(v, sharding)
+                                  for k, v in arrays.items()}
+                    sharded_cache = True
+                    if cfg.verbose:
+                        print(f"[data] sharded device cache: {n_local} "
+                              f"volumes/chip x {ndev} chips "
+                              f"({nbytes / 2**20:.0f} MiB total)")
+        if sharded_cache:
+            train_step_g = make_sharded_gathered_train_step(
+                config, model, priors, mesh, augment, **kw)
+            train_step_instr_g = make_sharded_gathered_train_step(
+                config, model, priors, mesh, augment, with_detections=True,
+                return_grads=cfg.grad_hist_every_n_steps > 0, **kw)
+        elif train_data is not None:
             train_step_g = make_gathered_train_step(config, model, priors, augment, **kw)
             train_step_instr_g = make_gathered_train_step(
                 config, model, priors, augment, with_detections=True,
@@ -253,9 +288,23 @@ class Trainer:
                 # device-resident path: shuffle indices on host, gather on
                 # device — per-step transfer is one tiny int32 vector
                 B = datamodule.batch_size
-                perm = np.random.default_rng((cfg.seed or 0) + epoch).permutation(n_train)
-                batches = [perm[i:i + B].astype(np.int32)
-                           for i in range(0, n_train - B + 1, B)]
+                rg = np.random.default_rng((cfg.seed or 0) + epoch)
+                if sharded_cache:
+                    # block d of each index vector holds SHARD-LOCAL indices
+                    # for device d (each replica shuffles its own shard)
+                    ndev = int(np.prod(list(mesh.shape.values())))
+                    b_local = B // ndev
+                    perms = [rg.permutation(n_local) for _ in range(ndev)]
+                    batches = [
+                        np.concatenate(
+                            [p[s * b_local:(s + 1) * b_local] for p in perms]
+                        ).astype(np.int32)
+                        for s in range(n_local // b_local)
+                    ]
+                else:
+                    perm = rg.permutation(n_train)
+                    batches = [perm[i:i + B].astype(np.int32)
+                               for i in range(0, n_train - B + 1, B)]
             else:
                 # streaming path: host batch assembly + host->device transfer
                 # overlap the previous step's execution (the reference's
@@ -274,7 +323,9 @@ class Trainer:
                 instrumented = compute_train_metrics or grad_hist
                 if train_data is not None:
                     fn = train_step_instr_g if instrumented else train_step_g
-                    state, m = fn(state, train_data, jnp.asarray(batch), step_rng)
+                    idx = (jax.device_put(batch, batch_sharding(mesh))
+                           if sharded_cache else jnp.asarray(batch))
+                    state, m = fn(state, train_data, idx, step_rng)
                     batch_mask = np.ones(len(batch), bool)
                 else:
                     fn = train_step_instr if instrumented else train_step

@@ -221,6 +221,41 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
     return jax.jit(step)
 
 
+def make_sharded_gathered_train_step(config: SSD3DConfig, model: SSD3D,
+                                     priors_center, mesh,
+                                     augment: AugmentConfig | None = None,
+                                     axis_name: str = "data", **kwargs):
+    """Data-parallel train step over a SHARDED device-resident dataset.
+
+    Scaling story: ``data`` is the materialized dataset device_put with
+    NamedSharding(mesh, P(axis_name)) on the subject axis — every chip keeps
+    only its shard in HBM and never streams volumes from the host. ``idx``
+    (n_devices * B_local,) is P(axis_name)-sharded too; block d holds indices
+    LOCAL to shard d (standard sharded-dataset sampling: each replica
+    shuffles its own shard). The gather runs inside shard_map, so it touches
+    no interconnect; the loss/grad body stays a global-view program and XLA
+    emits the gradient all-reduce over ICI as usual.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    body = make_train_step(config, model, priors_center, augment,
+                           jit=False, **{**kwargs, "donate": False})
+    donate = kwargs.get("donate", True)
+
+    gather_local = shard_map(
+        _gather_rows, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)), out_specs=P(axis_name),
+    )
+
+    def step(state, data, idx, rng):
+        batch = gather_local(data, idx)
+        batch["batch_mask"] = jnp.ones(idx.shape, bool)
+        return body(state, batch, rng)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_gathered_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                             **kwargs):
     """Eval step over a device-resident dataset: fn(state, data, idx, valid).

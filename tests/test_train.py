@@ -330,3 +330,63 @@ def test_gathered_steps_match_streaming(tiny_setup):
                   jnp.asarray([True, False]))
     assert float(out_pad["n_valid"]) == 1.0
     assert np.isfinite(float(out_pad["total_loss"]))
+
+
+def test_sharded_gathered_step_matches_global(tiny_setup):
+    """DP sharded-dataset gather: every chip holds a subject shard and
+    gathers locally; the loss equals the plain step on the equivalent
+    global batch."""
+    from mslesions3d_tpu.parallel import make_mesh
+    from mslesions3d_tpu.train import make_sharded_gathered_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, model, priors, state = tiny_setup
+    mesh = make_mesh(8)
+    n_local = 2  # 16 subjects over 8 devices
+    data_host = _fake_batch(cfg, batch=16, seed=11)
+    del data_host["batch_mask"]
+    sharding = NamedSharding(mesh, P("data"))
+    data = {k: jax.device_put(v, sharding) for k, v in data_host.items()}
+
+    # one local index per device (B_local = 1, global batch 8)
+    local_idx = np.asarray([1, 0, 1, 1, 0, 0, 1, 0], np.int32)
+    global_rows = np.arange(8) * n_local + local_idx
+    sub_batch = {k: v[global_rows] for k, v in data_host.items()}
+    sub_batch["batch_mask"] = np.ones(8, bool)
+
+    rng = jax.random.PRNGKey(13)
+    gstep = make_sharded_gathered_train_step(cfg, model, priors, mesh, donate=False)
+    _, m_sh = gstep(state, data, jax.device_put(local_idx, sharding), rng)
+
+    step = make_train_step(cfg, model, priors, donate=False)
+    _, m_ref = step(state, sub_batch, rng)
+    np.testing.assert_allclose(
+        float(m_ref["total_loss"]), float(m_sh["total_loss"]), rtol=1e-4
+    )
+
+
+def test_trainer_fit_data_parallel_sharded_cache(tmp_path):
+    """Trainer.fit with data_parallel + device cache: dataset sharded over
+    the mesh, training runs and checkpoints like the single-device path."""
+    from mslesions3d_tpu.data import SyntheticDataModule, generate_dataset
+
+    root = generate_dataset(
+        tmp_path / "data", num_images=12, n_classes=1, image_size=(16, 16, 16),
+        object_size=(5, 8), num_objects=(1, 2), seed=0, subdir="ds",
+    )
+    dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=8, max_objects=4)
+    dm.setup("fit")
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=8,
+    )
+    tcfg = TrainerConfig(
+        logdir=str(tmp_path / "logs"), experiment_name="dp", max_epochs=2,
+        max_steps=0, early_stopping=False, verbose=True, data_parallel=True,
+        grad_hist_every_n_steps=0, compute_metric_every_n_epochs=10,
+    )
+    state, result = Trainer(tcfg).fit(cfg, dm)
+    # 9 train subjects pad to 2/shard on 8 devices -> 2 local steps/epoch
+    assert int(state.step) == 4
+    assert np.isfinite([h["avg_val_loss"] for h in result["history"]]).all()
