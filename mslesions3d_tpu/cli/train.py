@@ -9,6 +9,8 @@ TPU-native additions: --data_parallel (shard batches over all chips),
 
 from __future__ import annotations
 
+import dataclasses
+
 import argparse
 import json
 
@@ -137,9 +139,12 @@ def main(argv=None):
             cache=True,  # in-memory cache; args.cache kept for flag parity
             max_objects=args.max_objects,
         )
-        input_channels = 1
+        input_channels = None  # inferred from the data (4-D = multi-contrast)
     dataset.setup("fit")
-    input_size = dataset.get_sample(dataset.trainsubs[0])["img"].shape[:3]
+    sample_shape = dataset.get_sample(dataset.trainsubs[0])["img"].shape
+    input_size = sample_shape[:3]
+    if input_channels is None:
+        input_channels = sample_shape[3] if len(sample_shape) == 4 else 1
     print(f"[train] {len(dataset.trainsubs)} train / {len(dataset.testsubs)} val "
           f"subjects, input size {input_size}")
 
@@ -184,6 +189,7 @@ def main(argv=None):
         verbose=True,
     ))
     state, result = trainer.fit(config, dataset, augment=augment, resume=args.checkpoint)
+    result["config"] = dataclasses.asdict(config)
     print(f"[train] done; best avg_val_loss={result['best_val_loss']:.4f}; "
           f"best checkpoint: {result['best_checkpoint']}")
     return result

@@ -22,6 +22,13 @@ import numpy as np
 
 from .nifti import save_nifti
 
+# Per-contrast additive object intensity (multi-contrast mode): channel 0
+# FLAIR-like (lesions bright), channel 1 T1-like (lesions dark), channel 2
+# T2-like (bright, weaker contrast) — cycled for n_contrasts > 3. Shared
+# geometry across channels (one segmentation), per-channel intensity profile
+# (BASELINE.json config #5: FLAIR+T1+T2 3-channel volumes).
+CONTRAST_DELTAS = (0.4, -0.3, 0.25)
+
 
 def generate_image(
     image_dir,
@@ -36,10 +43,18 @@ def generate_image(
     box_noise: bool = False,
     seed: int = 0,
     legacy_shell_bug: bool = False,
+    n_contrasts: int = 1,
 ):
     rng = np.random.RandomState(seed + idx)
     image_size = tuple(image_size)
     dim = len(image_size)
+
+    if n_contrasts > 1:
+        return _generate_multicontrast(
+            image_dir, seg_dir, idx, rng, n_classes, image_size, object_size,
+            num_objects, object_width, noise, box_noise, legacy_shell_bug,
+            n_contrasts,
+        )
 
     data = rng.rand(*image_size) if noise else np.zeros(image_size)
     mask = np.zeros_like(data)
@@ -80,6 +95,69 @@ def generate_image(
                mask.astype(np.float32), affine)
 
 
+def _generate_multicontrast(
+    image_dir, seg_dir, idx, rng, n_classes, image_size, object_size,
+    num_objects, object_width, noise, box_noise, legacy_shell_bug,
+    n_contrasts,
+):
+    """Multi-contrast variant: one 4-D (D,H,W,C) image, shared segmentation.
+
+    NEW capability beyond the reference generator (which is single-contrast,
+    gen:63-111): the same objects appear in every channel with the
+    per-channel intensity profile CONTRAST_DELTAS. The RNG stream differs
+    from the single-contrast mode (C channels of background noise are drawn
+    up front), so multi-contrast datasets are their own seeded family.
+    """
+    dim = len(image_size)
+    deltas = [CONTRAST_DELTAS[c % len(CONTRAST_DELTAS)] for c in range(n_contrasts)]
+
+    data = (rng.rand(*image_size, n_contrasts) if noise
+            else np.zeros((*image_size, n_contrasts)))
+    mask = np.zeros(image_size)
+
+    n_objects = rng.randint(*num_objects)
+    for _ in range(n_objects + 1):  # reference draws n_objects + 1 (gen:73)
+        selected_size = rng.randint(object_size[0], object_size[1])
+        selected_class = rng.randint(0, n_classes)
+        top_left = [rng.randint(0, image_size[i] - selected_size) for i in range(dim)]
+        intensity = 1.0 if not box_noise else rng.uniform(0.5, 1.0)
+
+        if selected_class == 0:
+            object_mask = np.zeros(image_size, dtype=bool)
+            object_mask[tuple(slice(tp, tp + selected_size) for tp in top_left)] = True
+            mask_value = 1
+        elif selected_class == 1:
+            inner = [
+                slice(tp + object_width, tp + selected_size - object_width)
+                for tp in top_left
+            ]
+            if legacy_shell_bug and dim == 3:
+                inner[0] = slice(0, image_size[0])
+            object_mask = np.zeros(image_size, dtype=bool)
+            object_mask[tuple(slice(tp, tp + selected_size) for tp in top_left)] = True
+            object_mask[tuple(inner)] = False
+            mask_value = 2
+        else:
+            raise NotImplementedError(f"class {selected_class} not supported")
+
+        for c, delta in enumerate(deltas):
+            ch = data[..., c]
+            if noise:
+                ch[object_mask] = ch[object_mask] + delta
+            else:
+                # no-noise mode: per-channel magnitude of the base intensity,
+                # darker channels (negative delta) at reduced level
+                ch[object_mask] = intensity * abs(delta) / max(abs(deltas[0]), 1e-8)
+        data = data.clip(0, 1)
+        mask[object_mask] = mask_value
+
+    affine = np.eye(4)
+    save_nifti(Path(image_dir) / f"sub-{str(idx).zfill(4)}_image.nii.gz",
+               data.astype(np.float32), affine)
+    save_nifti(Path(seg_dir) / f"sub-{str(idx).zfill(4)}_seg.nii.gz",
+               mask.astype(np.float32), affine)
+
+
 def generate_dataset(
     output_dir,
     num_images: int = 500,
@@ -94,6 +172,7 @@ def generate_dataset(
     num_processes: int = 1,
     subdir: str | None = None,
     legacy_shell_bug: bool = False,
+    n_contrasts: int = 1,
 ):
     """Fan out image generation over a process pool (gen:114-124).
 
@@ -111,7 +190,7 @@ def generate_dataset(
 
     args = [
         (image_dir, seg_dir, i, n_classes, image_size, object_size, num_objects,
-         object_width, noise, box_noise, seed, legacy_shell_bug)
+         object_width, noise, box_noise, seed, legacy_shell_bug, n_contrasts)
         for i in range(num_images)
     ]
     if num_processes <= 1:
@@ -138,6 +217,8 @@ def main(argv=None):
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--legacy_shell_bug", type=int, default=0)
+    p.add_argument("--n_contrasts", type=int, default=1,
+                   help="channels per image; >1 writes 4-D multi-contrast volumes")
     args = p.parse_args(argv)
 
     print(f"Random seed set at {args.random_seed}")
@@ -154,6 +235,7 @@ def main(argv=None):
         seed=args.random_seed,
         num_processes=args.num_processes,
         legacy_shell_bug=bool(args.legacy_shell_bug),
+        n_contrasts=args.n_contrasts,
     )
 
 

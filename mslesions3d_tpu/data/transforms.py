@@ -152,15 +152,28 @@ def t_crop_foreground(sample, margin=5, source_key="img"):
 
 
 def t_normalize_intensity(sample, nonzero=True):
-    """Zero-mean/unit-std over (nonzero) voxels (MONAI NormalizeIntensityd)."""
+    """Zero-mean/unit-std over (nonzero) voxels (MONAI NormalizeIntensityd).
+
+    4-D (D,H,W,C) multi-contrast images normalize per channel — each
+    contrast is an independently-scaled acquisition (matches the native
+    loader's msl_nifti_load normalize path).
+    """
     img = sample["img"].astype(np.float32)
-    if nonzero:
-        mask = img != 0
-        vals = img[mask]
-        if vals.size:
-            img[mask] = (vals - vals.mean()) / max(vals.std(), 1e-8)
+
+    def _norm(vol):
+        if nonzero:
+            mask = vol != 0
+            vals = vol[mask]
+            if vals.size:
+                vol[mask] = (vals - vals.mean()) / max(vals.std(), 1e-8)
+            return vol
+        return (vol - vol.mean()) / max(vol.std(), 1e-8)
+
+    if img.ndim == 4:
+        for c in range(img.shape[-1]):
+            img[..., c] = _norm(img[..., c])
     else:
-        img = (img - img.mean()) / max(img.std(), 1e-8)
+        img = _norm(img)
     sample["img"] = img
     return sample
 

@@ -171,3 +171,20 @@ def test_predict_cli_lesions_dataset(tmp_path):
     pred_dir = out / "validation_set" / "min_score_0.0"
     files = list(pred_dir.glob("sub-CHUV_RIM_OK_*_preds.json"))
     assert len(files) == 1  # 20% of 3 subjects
+
+
+def test_train_cli_multicontrast(tmp_path):
+    """Config #5: 3-channel multi-contrast synthetic train end-to-end — the
+    CLI infers input_channels=3 from the 4-D volumes."""
+    root = tmp_path / "mc_data"
+    generate_dataset(
+        root, num_images=6, n_classes=1, image_size=(24, 24, 24),
+        object_size=(6, 10), num_objects=(1, 3), seed=0, n_contrasts=3,
+    )
+    result = train_cli.main([
+        "-d", str(root), "-b", "2", "-lr", "0.003", "-th", "0.1", "0.2",
+        "-wm", "0.25", "-ld", str(tmp_path / "logs"), "-en", "mc", "-me", "1",
+        "-es", "0", "-a", "flip", "--max_objects", "8",
+    ])
+    assert np.isfinite(result["best_val_loss"])
+    assert result["config"]["input_channels"] == 3

@@ -85,3 +85,36 @@ def test_truncated_gz_clean_error(tmp_path):
     trunc.write_bytes(gzip.compress(plain[: 348 + 100]))
     with pytest.raises(RuntimeError, match="msl_nifti_load failed with code 7"):
         native.load_nifti_fast(trunc, normalize=True)
+
+
+def test_4d_multicontrast_decode(tmp_path):
+    """4-D volumes decode channels-last, matching the pure-Python loader."""
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(10, 12, 14, 3)).astype(np.float32)
+    path = tmp_path / "mc.nii.gz"
+    save_nifti(path, data)
+
+    fast, _ = load_nifti_fast(path)
+    assert fast.shape == (10, 12, 14, 3)
+    ref = load_nifti(path)
+    assert ref.data.shape == (10, 12, 14, 3)
+    np.testing.assert_allclose(fast, ref.data, rtol=1e-6)
+
+
+def test_4d_normalize_per_channel(tmp_path):
+    """Native normalization treats each contrast independently (and matches
+    the python t_normalize_intensity per-channel path)."""
+    rng = np.random.default_rng(3)
+    data = rng.uniform(0.5, 3.0, size=(8, 9, 10, 2)).astype(np.float32)
+    data[..., 1] *= 50.0  # very different scale per channel
+    data[data < 1.0] = 0  # some zeros for the nonzero mask
+    path = tmp_path / "mcn.nii.gz"
+    save_nifti(path, data)
+
+    fast, _ = load_nifti_fast(path, normalize=True)
+    expected = t_normalize_intensity({"img": load_nifti(path).data}, nonzero=True)["img"]
+    np.testing.assert_allclose(fast, expected, rtol=1e-4, atol=1e-4)
+    # per-channel: each channel's nonzero voxels are ~N(0, 1)
+    for c in range(2):
+        vals = fast[..., c][fast[..., c] != 0]
+        assert abs(vals.mean()) < 1e-3 and abs(vals.std() - 1.0) < 1e-3
