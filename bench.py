@@ -76,6 +76,35 @@ def measure(batch: int, iters: int = 20) -> float:
     return batch * iters / dt
 
 
+SW_VOLUME = (192, 224, 192)  # BASELINE.json config #3 full-volume geometry
+
+
+def measure_sliding_window(iters: int = 20) -> float:
+    """Full-volume sliding-window detection (96^3 patches, on-device
+    stitching) — the literal headline metric (BASELINE.json config #3)."""
+    from mslesions3d_tpu.sliding_window import make_sliding_window_detector
+
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=VOLUME, dtype="bfloat16",
+        min_score=0.5, top_k=100,
+    )
+    model = SSD3D(config)
+    images = jnp.zeros((1, *VOLUME, 1), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    detect = make_sliding_window_detector(config, SW_VOLUME)
+    volume = jnp.zeros((*SW_VOLUME, 1), jnp.bfloat16)
+    detect(variables, volume)["count"].block_until_ready()  # compile
+    for _ in range(3):
+        out = detect(variables, volume)
+    out["count"].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(variables, volume)
+    out["count"].block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 TRAIN_VOLUME = (64, 64, 64)  # reference training geometry (train.py:30)
 
 
@@ -135,6 +164,14 @@ def main():
         if vps > best:
             best, best_batch = vps, batch
 
+    extra = {}
+    try:
+        sw = measure_sliding_window()
+        print(f"# sliding-window {SW_VOLUME}: {sw:.2f} volumes/sec", flush=True)
+        extra["sliding_window_192x224x192_volumes_per_sec"] = round(sw, 3)
+    except Exception as e:
+        print(f"# sliding-window failed: {type(e).__name__}", flush=True)
+
     train = {}
     for batch in (8, 64):
         try:
@@ -152,7 +189,7 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(best / TARGET_VOLUMES_PER_SEC, 4),
         "detail": {"volume": list(VOLUME), "best_batch": best_batch,
-                    "device": str(jax.devices()[0]), **train},
+                    "device": str(jax.devices()[0]), **extra, **train},
     }))
 
 

@@ -40,8 +40,10 @@ def retrieve_boxes(path_to_dir, subject, confidence_threshold=0.5):
 
 def evaluate(prediction_dir, dataset_path, model_name=None, dataset_name=None,
              predict_subset="train", n_classes=1, percentage=1.0,
-             confidence_threshold=0.5, min_iou=0.5, subject=None, datamodule=None):
+             confidence_threshold=0.5, min_iou=0.5, subject=None, datamodule=None,
+             channels=None):
     dataset = datamodule or SyntheticDataModule(
+        channels=channels,
         data_dir=dataset_path, dataset_name=dataset_name, n_classes=n_classes,
         percentage=percentage, batch_size=32, cache=False, subject=subject,
     )
@@ -103,6 +105,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset")
     p.add_argument("-dn", "--dataset_name", type=str, default=None)
+    p.add_argument("--channels", type=int, nargs="*", default=None,
+                   help="channel subset of multi-contrast volumes (e.g. 0 for FLAIR-only)")
     p.add_argument("-mn", "--model_name", type=str, default=None)
     p.add_argument("-p", "--percentage", type=float, default=1.0)
     p.add_argument("-c", "--n_classes", type=int, default=1)
@@ -130,6 +134,7 @@ def main(argv=None):
         n_classes=args.n_classes, percentage=args.percentage,
         confidence_threshold=args.min_score, min_iou=args.min_iou,
         datamodule=build_datamodule(args) if args.dataset_type == "lesions" else None,
+        channels=args.channels,
     )
 
 

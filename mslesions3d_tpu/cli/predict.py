@@ -34,6 +34,8 @@ def build_parser():
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset")
     p.add_argument("-dn", "--dataset_name", type=str, default=None)
+    p.add_argument("--channels", type=int, nargs="*", default=None,
+                   help="channel subset of multi-contrast volumes (e.g. 0 for FLAIR-only)")
     p.add_argument("-m", "--model_path", type=str, required=True,
                    help="path to a checkpoint directory")
     p.add_argument("-mn", "--model_name", type=str, default=None)
@@ -76,6 +78,7 @@ def build_datamodule(args):
             cache=True, spatial_size=tuple(args.spatial_size),
         )
     return SyntheticDataModule(
+        channels=args.channels,
         data_dir=args.dataset_path, dataset_name=args.dataset_name,
         n_classes=args.n_classes, subject=args.subject, percentage=args.percentage,
         batch_size=1, cache=True,

@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dataset_path", type=str, default="../data/artificial_dataset",
                    help="path to dataset used for training and validation")
     p.add_argument("-dn", "--dataset_name", type=str, default=None)
+    p.add_argument("--channels", type=int, nargs="*", default=None,
+                   help="channel subset of multi-contrast volumes (e.g. 0 for FLAIR-only)")
     p.add_argument("-su", "--subject", type=str, default=None,
                    help="train on a single subject id (debugging)")
     p.add_argument("-p", "--percentage", type=float, default=1.0)
@@ -132,6 +134,7 @@ def main(argv=None):
             data_dir=args.dataset_path,
             dataset_name=args.dataset_name,
             n_classes=args.n_classes,
+            channels=args.channels,
             subject=args.subject,
             percentage=args.percentage,
             batch_size=args.batch_size,

@@ -206,10 +206,13 @@ class SyntheticDataModule(_BaseDataModule):
 
     def __init__(self, data_dir, dataset_name=None, n_classes=1, objects="multiple",
                  percentage=1.0, batch_size=8, random_state=DEFAULT_SEED,
-                 cache=True, subject=None, max_objects=16):
+                 cache=True, subject=None, max_objects=16, channels=None):
         super().__init__(batch_size, max_objects, random_state, percentage, subject, cache)
         assert n_classes in (1, 2)
         self.n_classes = n_classes
+        # channel subset of multi-contrast (4-D) volumes, e.g. (0,) for a
+        # FLAIR-only ablation of a FLAIR+T1+T2 dataset; None = all channels
+        self.channels = tuple(channels) if channels is not None else None
 
         root = Path(data_dir)
         if objects == "multiple" and (root / "multiple_objects").exists():
@@ -264,6 +267,8 @@ class SyntheticDataModule(_BaseDataModule):
             sample["seg"], "classes", n_classes=self.n_classes
         )
         sample["boxes"], sample["labels"] = boxes, labels
+        if self.channels is not None and sample["img"].ndim == 4:
+            sample["img"] = np.ascontiguousarray(sample["img"][..., self.channels])
         return sample
 
 

@@ -53,7 +53,7 @@ def make_sliding_window_detector(
     config: SSD3DConfig,
     volume_shape: tuple[int, int, int],
     overlap: float = 0.25,
-    patch_batch: int = 8,
+    patch_batch: int | None = None,
     min_score: float | None = None,
     max_overlap: float | None = None,
     top_k: int | None = None,
@@ -63,6 +63,11 @@ def make_sliding_window_detector(
 
     Returns a host-callable that runs the jitted patch pipeline. Detections
     come back in GLOBAL fractional coordinates of the full volume.
+
+    ``patch_batch`` defaults to the whole (padded) patch grid up to 32 —
+    device batching is the main throughput lever (bench.py: batch 8 -> 128
+    is ~2x on v5e), so small grids run as ONE device batch instead of
+    several serialized chunks.
 
     ``per_patch_k`` caps detections kept per patch BEFORE stitching
     (default max(top_k // 2, 16)); a lesion-dense patch that saturates it
@@ -74,6 +79,8 @@ def make_sliding_window_detector(
     patch = config.input_size
     offsets = patch_offsets(volume_shape, patch, overlap)
     n_patches = offsets.shape[0]
+    if patch_batch is None:
+        patch_batch = min(-(-n_patches // 8) * 8, 32)
     # pad the patch grid to a multiple of the device batch
     n_padded = -(-n_patches // patch_batch) * patch_batch
     offsets_padded = np.concatenate(

@@ -421,3 +421,20 @@ def test_multicontrast_datamodule_batches(tmp_path):
     assert batch["box_mask"].any()
     b = batch["boxes"][batch["box_mask"]]
     assert ((b[:, 3:] > b[:, :3]) & (b >= 0).all(axis=1, keepdims=True)).all()
+
+
+def test_multicontrast_channel_subset(tmp_path):
+    """channels=(0,) gives a FLAIR-only view of a multi-contrast dataset
+    (ablation support for the config #5 sweep)."""
+    root = generate_dataset(
+        tmp_path / "mc", num_images=4, n_classes=1, image_size=(24, 24, 24),
+        object_size=(6, 10), num_objects=(1, 3), seed=11, n_contrasts=3,
+    )
+    dm_all = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=1)
+    dm_one = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=1, channels=(0,))
+    dm_all.setup("fit"); dm_one.setup("fit")
+    s_all = dm_all.get_sample(dm_all.trainsubs[0])
+    s_one = dm_one.get_sample(dm_one.trainsubs[0])
+    assert s_all["img"].shape[-1] == 3 and s_one["img"].shape[-1] == 1
+    np.testing.assert_array_equal(s_one["img"][..., 0], s_all["img"][..., 0])
+    np.testing.assert_array_equal(s_one["boxes"], s_all["boxes"])
