@@ -75,3 +75,33 @@ def test_model_pallas_flag_equivalence():
     np.testing.assert_allclose(
         np.asarray(scores_on), np.asarray(scores_off), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_nms_parity_interpret():
+    """Fused Pallas NMS (interpret mode) == XLA fixpoint greedy NMS,
+    including K padding to the 128-lane tile."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mslesions3d_tpu.kernels.nms import greedy_nms_pallas
+    from mslesions3d_tpu.ops.nms import greedy_nms
+
+    rng = np.random.default_rng(3)
+    n, k = 4, 200  # k deliberately not a multiple of 128
+    centers = rng.uniform(0.2, 0.8, size=(n, 25, 3))
+    idx = rng.integers(0, 25, size=(n, k))
+    lo = np.clip(
+        np.take_along_axis(centers, idx[..., None], 1)
+        + rng.normal(0, 0.03, (n, k, 3)) - 0.04, 0, 1,
+    )
+    hi = np.clip(lo + rng.uniform(0.04, 0.12, (n, k, 3)), 0, 1)
+    boxes = np.concatenate([lo, hi], -1).astype(np.float32)
+    valid = rng.uniform(size=(n, k)) > 0.15
+
+    keep_pl = np.asarray(
+        greedy_nms_pallas(jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True)
+    )
+    keep_xla = np.stack([
+        np.asarray(greedy_nms(jnp.asarray(boxes[i]), jnp.asarray(valid[i]), 0.5))
+        for i in range(n)
+    ])
+    np.testing.assert_array_equal(keep_pl, keep_xla)

@@ -50,6 +50,47 @@ def test_greedy_nms_parity():
         np.testing.assert_array_equal(keep, expected)
 
 
+def test_greedy_nms_fixpoint_matches_sequential_large():
+    """The MXU fixpoint NMS must equal the literal sequential loop on dense
+    candidate sets with deep suppression chains (chains of boxes where each
+    suppresses the next: kept/suppressed alternates down the chain)."""
+    from mslesions3d_tpu.ops.nms import greedy_nms_sequential
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        # clustered boxes -> long suppression chains
+        centers = rng.uniform(0.2, 0.8, size=(40, 3))
+        idx = rng.integers(0, 40, size=256)
+        jitter = rng.normal(0, 0.02, size=(256, 3))
+        lo = np.clip(centers[idx] + jitter - 0.05, 0, 1)
+        hi = np.clip(lo + rng.uniform(0.05, 0.15, size=(256, 3)), 0, 1)
+        boxes = np.concatenate([lo, hi], 1).astype(np.float32)
+        valid = rng.uniform(size=256) > 0.1
+        for t in (0.3, 0.5, 0.7):
+            fix = np.asarray(greedy_nms(jnp.asarray(boxes), jnp.asarray(valid), t))
+            seq = np.asarray(
+                greedy_nms_sequential(jnp.asarray(boxes), jnp.asarray(valid), t)
+            )
+            np.testing.assert_array_equal(fix, seq)
+            np.testing.assert_array_equal(fix, reference_nms(boxes, valid, t))
+
+
+def test_greedy_nms_chain_alternation():
+    """A strict chain a>b>c>d... (each overlaps only its neighbor) must keep
+    alternating boxes — the worst case for fixpoint convergence."""
+    n = 64
+    # identical-size boxes sliding along x so consecutive pairs overlap >0.5
+    starts = np.arange(n, dtype=np.float32) * 0.004
+    boxes = np.stack(
+        [starts, np.zeros(n, np.float32), np.zeros(n, np.float32),
+         starts + 0.012, np.ones(n, np.float32) * 0.012,
+         np.ones(n, np.float32) * 0.012], 1,
+    )
+    valid = np.ones(n, bool)
+    keep = np.asarray(greedy_nms(jnp.asarray(boxes), jnp.asarray(valid), 0.4))
+    np.testing.assert_array_equal(keep, reference_nms(boxes, valid, 0.4))
+
+
 def test_greedy_nms_suppresses_duplicates():
     box = np.array([[0.1, 0.1, 0.1, 0.5, 0.5, 0.5]], dtype=np.float32)
     boxes = np.concatenate([box, box + 0.01, box + 0.4], 0)
