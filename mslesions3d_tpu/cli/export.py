@@ -1,0 +1,67 @@
+"""Export a trained checkpoint as a hermetic serving bundle (.mslx).
+
+New capability vs the reference (which serves by re-running its Lightning
+predict loop from a Python checkpoint, reference predict.py:235-281): the
+end-to-end detection function is AOT-exported as serialized StableHLO with
+the trained weights baked in — see mslesions3d_tpu/serving.py.
+
+    msl-export -m logs/run/checkpoints/best -o model.mslx -b 1 8 64
+    msl-export -m ... -o model.mslx --platforms cpu tpu     # portable bundle
+    msl-export -m ... -o model.mslx --nms_impl pallas       # TPU-only, fused NMS
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-m", "--model_path", required=True,
+                   help="checkpoint directory (as written by training)")
+    p.add_argument("-o", "--output", required=True, help="output .mslx path")
+    p.add_argument("-b", "--batch_sizes", nargs="+", type=int, default=[1],
+                   help="batch sizes to export (one artifact each)")
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="lowering platforms, e.g. cpu tpu (default: current backend)")
+    p.add_argument("--nms_impl", default="xla", choices=["xla", "pallas"],
+                   help="xla = portable, pallas = fused TPU kernel (single-platform)")
+    p.add_argument("-sc", "--min_score", type=float, default=None)
+    p.add_argument("-k", "--top_k", type=int, default=None)
+    p.add_argument("--dtype", default=None, help="input dtype override (e.g. float32)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform to trace/export on (e.g. cpu)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..serving import export_detector, save_bundle
+    from ..train.checkpoints import load_checkpoint
+
+    config, payload, _ = load_checkpoint(args.model_path)
+    variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+    exports, manifest = export_detector(
+        config, variables, args.batch_sizes,
+        platforms=args.platforms, nms_impl=args.nms_impl,
+        min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
+    )
+    out = save_bundle(args.output, exports, manifest)
+    size = Path(out).stat().st_size
+    print(f"[export] wrote {out} ({size / 1e6:.2f} MB): "
+          f"batch sizes {manifest['batch_sizes']}, platforms {manifest['platforms']}, "
+          f"nms={manifest['nms_impl']}")
+    print(json.dumps({k: v for k, v in manifest.items() if k != "config"}, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

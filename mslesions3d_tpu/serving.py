@@ -1,0 +1,160 @@
+"""AOT export + serving bundles for trained SSD3D detectors.
+
+The reference has no deployment story: serving means re-running the Lightning
+predict loop from a Python checkpoint (reference predict.py:235-281), which
+drags the whole training stack (model code, Lightning, MONAI) into the
+serving environment. Here the END-TO-END detection function — backbone +
+heads + box decode + NMS + top-k, exactly what ``cli.predict`` runs — is
+exported as a serialized StableHLO artifact via ``jax.export``:
+
+* **hermetic**: trained parameters are baked into the module as constants;
+  the artifact depends only on jax/jaxlib at load time (no model code, no
+  checkpoint format, no framework internals);
+* **multi-platform**: one bundle can carry lowerings for several platforms
+  (``platforms=("cpu", "tpu")``) — the portable XLA NMS path is used by
+  default; single-platform TPU bundles may opt into the fused Pallas NMS
+  kernel;
+* **static-batched**: one exported function per batch size (XLA requires
+  static shapes); :class:`ServingDetector` routes/pads arbitrary request
+  sizes onto the exported batches.
+
+Bundle layout (a single ``.mslx`` zip):
+  manifest.json            config + input spec + batch sizes + versions
+  fn_b{N}.bin              serialized jax.export artifact per batch size
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import SSD3D, SSD3DConfig, model_priors
+from .ops.nms import detect_objects
+
+MANIFEST_VERSION = 1
+
+
+def _detection_fn(config: SSD3DConfig, variables, *, min_score, top_k, nms_impl):
+    model = SSD3D(config)
+    priors = jnp.asarray(model_priors(config))
+
+    def detect(images):
+        locs, scores = model.apply(variables, images, train=False)
+        return detect_objects(
+            locs, scores, priors,
+            n_classes=config.n_classes, min_score=min_score,
+            max_overlap=config.max_overlap, top_k=top_k, nms_impl=nms_impl,
+        )
+
+    return detect
+
+
+def export_detector(
+    config: SSD3DConfig,
+    variables,
+    batch_sizes=(1,),
+    *,
+    platforms=None,
+    nms_impl: str = "xla",
+    min_score=None,
+    top_k=None,
+    dtype=None,
+):
+    """Export the end-to-end detector for each batch size.
+
+    variables: {"params": ..., "batch_stats": ...} trained inference
+    variables — baked into the artifact as constants.
+    Returns ({batch_size: serialized bytes}, manifest dict).
+    """
+    from jax import export as jax_export
+
+    min_score = config.min_score if min_score is None else min_score
+    top_k = config.top_k if top_k is None else top_k
+    in_dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(config.dtype)
+    detect = _detection_fn(
+        config, variables, min_score=min_score, top_k=top_k, nms_impl=nms_impl
+    )
+
+    d, h, w = config.input_size
+    exports = {}
+    for b in sorted(set(int(x) for x in batch_sizes)):
+        spec = jax.ShapeDtypeStruct((b, d, h, w, config.input_channels), in_dtype)
+        kwargs = {"platforms": tuple(platforms)} if platforms else {}
+        exports[b] = jax_export.export(jax.jit(detect), **kwargs)(spec).serialize()
+
+    manifest = {
+        "manifest_version": MANIFEST_VERSION,
+        "config": config.to_json_dict(),
+        "input": {
+            "shape": [None, d, h, w, config.input_channels],
+            "dtype": str(in_dtype),
+        },
+        "batch_sizes": sorted(exports),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "nms_impl": nms_impl,
+        "min_score": float(min_score),
+        "top_k": int(top_k),
+        "jax_version": jax.__version__,
+        "outputs": ["boxes (B,top_k,6) corner-frac", "labels (B,top_k)",
+                    "scores (B,top_k)", "count (B,)"],
+    }
+    return exports, manifest
+
+
+def save_bundle(path, exports: dict, manifest: dict) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("manifest.json", json.dumps(manifest, indent=2))
+        for b, data in exports.items():
+            zf.writestr(f"fn_b{b}.bin", data)
+    return path
+
+
+class ServingDetector:
+    """Load an ``.mslx`` bundle and serve arbitrary-size requests.
+
+    Requests are chunked onto the largest exported batch size; the final
+    partial chunk is padded (and its padded rows dropped from the result).
+    """
+
+    def __init__(self, path):
+        from jax import export as jax_export
+
+        with zipfile.ZipFile(Path(path)) as zf:
+            self.manifest = json.loads(zf.read("manifest.json"))
+            self._fns = {
+                b: jax_export.deserialize(zf.read(f"fn_b{b}.bin"))
+                for b in self.manifest["batch_sizes"]
+            }
+        self.batch_sizes = sorted(self._fns)
+        self.input_dtype = jnp.dtype(self.manifest["input"]["dtype"])
+
+    @property
+    def config(self) -> SSD3DConfig:
+        return SSD3DConfig.from_json_dict(self.manifest["config"])
+
+    def predict(self, images) -> dict:
+        """images: (B, D, H, W, C) array -> detection dict (numpy, size B)."""
+        images = np.asarray(images)
+        n = images.shape[0]
+        outs = []
+        start = 0
+        while start < n:
+            remaining = n - start
+            fits = [b for b in self.batch_sizes if b <= remaining]
+            b = max(fits) if fits else min(self.batch_sizes)
+            chunk = images[start : start + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            det = self._fns[b].call(jnp.asarray(chunk, self.input_dtype))
+            outs.append({k: np.asarray(v)[: b - pad] for k, v in det.items()})
+            start += b - pad
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

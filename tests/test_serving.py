@@ -1,0 +1,80 @@
+"""Serving bundle roundtrip: export -> .mslx -> ServingDetector == live model.
+
+New capability vs the reference (no deployment path there; serving re-runs
+the Lightning predict loop, reference predict.py:235-281)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+from mslesions3d_tpu.ops.nms import detect_objects
+from mslesions3d_tpu.serving import ServingDetector, export_detector, save_bundle
+
+
+def _tiny_model():
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(24, 24, 24),
+        width_mult=0.25, min_score=0.3, top_k=8,
+    )
+    model = SSD3D(config)
+    images = jnp.zeros((1, 24, 24, 24, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    return config, model, variables
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    config, model, variables = _tiny_model()
+    exports, manifest = export_detector(
+        config, variables, batch_sizes=(2,), nms_impl="xla", dtype="float32",
+    )
+    assert manifest["batch_sizes"] == [2]
+    bundle = save_bundle(tmp_path / "model.mslx", exports, manifest)
+
+    det = ServingDetector(bundle)
+    assert det.config.input_size == (24, 24, 24)
+
+    rng = np.random.default_rng(0)
+    # B=3 exercises chunking (one full batch of 2 + one padded batch)
+    images = rng.normal(0, 1, (3, 24, 24, 24, 1)).astype(np.float32)
+    served = det.predict(images)
+
+    priors = jnp.asarray(model_priors(config))
+    locs, scores = model.apply(variables, jnp.asarray(images), train=False)
+    live = detect_objects(
+        locs, scores, priors, n_classes=2, min_score=config.min_score,
+        max_overlap=config.max_overlap, top_k=config.top_k,
+    )
+    assert served["boxes"].shape == (3, config.top_k, 6)
+    np.testing.assert_array_equal(served["count"], np.asarray(live["count"]))
+    np.testing.assert_allclose(
+        served["scores"], np.asarray(live["scores"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        served["boxes"], np.asarray(live["boxes"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    from mslesions3d_tpu.cli import export as export_cli
+    from mslesions3d_tpu.train.checkpoints import save_checkpoint
+    from mslesions3d_tpu.train.state import create_train_state
+
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(24, 24, 24),
+        width_mult=0.25, min_score=0.3, top_k=8,
+    )
+    model = SSD3D(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(1))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, state, config, {"avg_val_loss": 1.0}, extra={"epoch": 0})
+
+    out = export_cli.main([
+        "-m", str(ckpt), "-o", str(tmp_path / "m.mslx"), "-b", "1", "2",
+        "--dtype", "float32",
+    ])
+    det = ServingDetector(out)
+    assert det.batch_sizes == [1, 2]
+    images = np.zeros((2, 24, 24, 24, 1), np.float32)
+    res = det.predict(images)
+    assert res["labels"].shape == (2, 8)
