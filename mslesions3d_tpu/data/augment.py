@@ -158,8 +158,15 @@ def separable_resample(img, axis_coords):
     out = img
     for ax, coords in enumerate(axis_coords):
         w = _axis_interp_matrix(coords.astype(jnp.float32), img.shape[ax])
+        # HIGHEST precision: the composed flip maps yield exact permutation
+        # matrices, and the default TPU matmul precision would truncate the
+        # image to bf16 mid-flip; 3-pass f32 keeps the permutation exact to
+        # f32 (and costs nothing at these sizes).
         out = jnp.moveaxis(
-            jnp.tensordot(w.astype(out.dtype), out, axes=([1], [ax])), 0, ax
+            jnp.tensordot(
+                w.astype(out.dtype), out, axes=([1], [ax]),
+                precision=jax.lax.Precision.HIGHEST,
+            ), 0, ax,
         )
     return out
 
@@ -199,14 +206,22 @@ def trilinear_resample(img, coords):
 
 @partial(jax.jit, static_argnames=("config",))
 def augment_sample(rng, img, boxes, config: AugmentConfig):
-    """Augment one (D,H,W,C) image + its (M,6) fractional boxes."""
-    shape = jnp.asarray(img.shape[:3], jnp.float32)
+    """Augment one (D,H,W,C) image + its (M,6) fractional boxes.
 
-    for axis in config.flip_axes:
-        rng, key = jax.random.split(rng)
-        do = jax.random.bernoulli(key, config.flip_prob)
-        img = jnp.where(do, jnp.flip(img, axis=axis), img)
-        boxes = jnp.where(do, _flip_boxes(boxes, axis, 1.0 / img.shape[axis]), boxes)
+    All geometric transforms except rot90 — flips, affine, zoom, grid
+    distortion — have SEPARABLE per-axis output->input coordinate maps, so
+    they are composed into ONE 3-pass MXU resample instead of sequential
+    full-volume materializations (round-2 profile: sequential flip stages
+    alone cost ~2.6 ms of a 14.8 ms train step at 64^3 batch 64). Flip maps
+    evaluate to exact permutation matrices (integer coordinates -> hat
+    weights of 1), so a flips-only configuration is still an exact flip; a
+    single composed resample also interpolates once instead of once per
+    warp, which is strictly less smoothing than the reference's sequential
+    MONAI transforms. rot90 exchanges axes (not separable) and stays a
+    conditional transpose stage, applied first; boxes follow the image
+    through the identical composed map.
+    """
+    shape = jnp.asarray(img.shape[:3], jnp.float32)
 
     for a, b in config.rot90_planes:
         if img.shape[a] != img.shape[b]:
@@ -216,91 +231,101 @@ def augment_sample(rng, img, boxes, config: AugmentConfig):
         img = jnp.where(do, jnp.rot90(img, 1, axes=(a, b)), img)
         boxes = jnp.where(do, _rot90_boxes(boxes, a, b, 1.0 / img.shape[a]), boxes)
 
-    if config.affine_prob > 0.0:
-        rng, kdo, kt, ks = jax.random.split(rng, 4)
-        do = jax.random.bernoulli(kdo, config.affine_prob)
-        t = jax.random.uniform(
-            kt, (3,), minval=-config.translate_range, maxval=config.translate_range
-        )
-        s = 1.0 + jax.random.uniform(
-            ks, (3,), minval=-config.scale_range, maxval=config.scale_range
-        )
-        t = jnp.where(do, t, 0.0)
-        s = jnp.where(do, s, 1.0)
-
+    # Composed separable stage. Image-op order: Flip -> Affine -> Zoom ->
+    # Distort; the output->input coordinate map is therefore evaluated
+    # innermost-last: coords = m_flip(m_affine(m_zoom(m_distort(o)))).
+    # Box corners take the forward maps in image-op order.
+    warps_active = (
+        config.affine_prob > 0.0 or config.zoom_prob > 0.0
+        or config.grid_distort_prob > 0.0
+    )
+    if config.flip_axes or warps_active:
+        coords = [jnp.arange(img.shape[ax], dtype=jnp.float32) for ax in range(3)]
         center = (shape - 1.0) / 2.0
-        # forward map T(v) = s*(v - c) + c + t in voxel-index space
-        # (c = (S-1)/2) => sample input at T^{-1}(o); the map is axis-aligned
-        # (scale + translate, no rotation), so resampling is separable
-        axes = [
-            (jnp.arange(img.shape[ax], dtype=jnp.float32) - center[ax] - t[ax])
-            / s[ax] + center[ax]
-            for ax in range(3)
-        ]
-        img = separable_resample(img, axes)
-        # boxes transform in the same voxel-index space as the resample grid
-        lo_vox = s * (boxes[..., :3] * shape - center) + center + t
-        hi_vox = s * (boxes[..., 3:] * shape - center) + center + t
-        boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
 
-    if config.zoom_prob > 0.0:
-        rng, kdo, kz = jax.random.split(rng, 3)
-        do = jax.random.bernoulli(kdo, config.zoom_prob)
-        z = jax.random.uniform(kz, (), minval=config.min_zoom, maxval=config.max_zoom)
-        z = jnp.where(do, z, 1.0)
-        center = (shape - 1.0) / 2.0
-        # keep_size zoom about the center: output o samples input at
-        # c + (o - c)/z — separable 1-D maps per axis
-        axes = [
-            center[ax] + (jnp.arange(img.shape[ax], dtype=jnp.float32) - center[ax]) / z
-            for ax in range(3)
-        ]
-        img = separable_resample(img, axes)
-        # a feature at input voxel p lands at output voxel c + (p - c) * z
-        lo_vox = center + (boxes[..., :3] * shape - center) * z
-        hi_vox = center + (boxes[..., 3:] * shape - center) * z
-        boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
-
-    if config.grid_distort_prob > 0.0:
-        rng, kdo, kd = jax.random.split(rng, 3)
-        do = jax.random.bernoulli(kdo, config.grid_distort_prob)
-        n_cells = config.grid_distort_cells
-        deltas = jax.random.uniform(
-            kd, (3, n_cells),
-            minval=-config.grid_distort_limit, maxval=config.grid_distort_limit,
-        )
-        deltas = jnp.where(do, deltas, 0.0)
-        axes = []
-        inv_knots = []  # (input positions, output positions) per axis
-        out_knots = []
-        for ax in range(3):
-            size = float(img.shape[ax])
-            widths = (size / n_cells) * (1.0 + deltas[ax])
-            knots_in = jnp.concatenate([jnp.zeros(1), jnp.cumsum(widths)])
-            # renormalize so the full extent still maps to the full extent
-            # (pure content redistribution: no black borders, boxes stay in
-            # [0, 1])
-            knots_in = knots_in * (size / knots_in[-1])
-            knots_out = jnp.linspace(0.0, size, n_cells + 1)
-            axes.append(
-                jnp.interp(jnp.arange(img.shape[ax], dtype=jnp.float32),
-                           knots_out, knots_in)
+        if config.grid_distort_prob > 0.0:
+            rng, kdo, kd = jax.random.split(rng, 3)
+            do = jax.random.bernoulli(kdo, config.grid_distort_prob)
+            n_cells = config.grid_distort_cells
+            deltas = jax.random.uniform(
+                kd, (3, n_cells),
+                minval=-config.grid_distort_limit, maxval=config.grid_distort_limit,
             )
-            inv_knots.append(knots_in)
-            out_knots.append(knots_out)
-        img = separable_resample(img, axes)
-        # per-axis map is monotonic: box corners map through its inverse
-        # (interp with swapped knots)
-        new_cols = []
-        for ax in range(3):
-            size = float(img.shape[ax])
-            lo = jnp.interp(boxes[..., ax] * size, inv_knots[ax], out_knots[ax])
-            hi = jnp.interp(boxes[..., ax + 3] * size, inv_knots[ax], out_knots[ax])
-            new_cols.append((lo / size, hi / size))
-        boxes = jnp.stack(
-            [new_cols[0][0], new_cols[1][0], new_cols[2][0],
-             new_cols[0][1], new_cols[1][1], new_cols[2][1]], axis=-1
-        )
+            deltas = jnp.where(do, deltas, 0.0)
+            dist_knots = []  # per axis (knots_in, knots_out)
+            for ax in range(3):
+                size = float(img.shape[ax])
+                widths = (size / n_cells) * (1.0 + deltas[ax])
+                knots_in = jnp.concatenate([jnp.zeros(1), jnp.cumsum(widths)])
+                # renormalize so the full extent still maps to the full
+                # extent (pure content redistribution: no black borders,
+                # boxes stay in [0, 1])
+                knots_in = knots_in * (size / knots_in[-1])
+                knots_out = jnp.linspace(0.0, size, n_cells + 1)
+                dist_knots.append((knots_in, knots_out))
+                coords[ax] = jnp.interp(coords[ax], knots_out, knots_in)
+
+        if config.zoom_prob > 0.0:
+            rng, kdo, kz = jax.random.split(rng, 3)
+            do = jax.random.bernoulli(kdo, config.zoom_prob)
+            z = jax.random.uniform(kz, (), minval=config.min_zoom, maxval=config.max_zoom)
+            z = jnp.where(do, z, 1.0)
+            # keep_size zoom about the center: output o samples input at
+            # c + (o - c)/z
+            coords = [center[ax] + (coords[ax] - center[ax]) / z for ax in range(3)]
+
+        if config.affine_prob > 0.0:
+            rng, kdo, kt, ks = jax.random.split(rng, 4)
+            do = jax.random.bernoulli(kdo, config.affine_prob)
+            t = jax.random.uniform(
+                kt, (3,), minval=-config.translate_range, maxval=config.translate_range
+            )
+            s = 1.0 + jax.random.uniform(
+                ks, (3,), minval=-config.scale_range, maxval=config.scale_range
+            )
+            t = jnp.where(do, t, 0.0)
+            s = jnp.where(do, s, 1.0)
+            # forward map T(v) = s*(v - c) + c + t => sample input at T^{-1}
+            coords = [(coords[ax] - center[ax] - t[ax]) / s[ax] + center[ax]
+                      for ax in range(3)]
+
+        flip_do = {}
+        for axis in config.flip_axes:
+            rng, key = jax.random.split(rng)
+            do = jax.random.bernoulli(key, config.flip_prob)
+            flip_do[axis] = do
+            size = float(img.shape[axis])
+            coords[axis] = jnp.where(do, (size - 1.0) - coords[axis], coords[axis])
+
+        img = separable_resample(img, coords)
+
+        # boxes: forward maps in image-op order (flip, affine, zoom, distort)
+        for axis, do in flip_do.items():
+            boxes = jnp.where(
+                do, _flip_boxes(boxes, axis, 1.0 / img.shape[axis]), boxes
+            )
+        if config.affine_prob > 0.0:
+            lo_vox = s * (boxes[..., :3] * shape - center) + center + t
+            hi_vox = s * (boxes[..., 3:] * shape - center) + center + t
+            boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
+        if config.zoom_prob > 0.0:
+            lo_vox = center + (boxes[..., :3] * shape - center) * z
+            hi_vox = center + (boxes[..., 3:] * shape - center) * z
+            boxes = jnp.concatenate([lo_vox / shape, hi_vox / shape], axis=-1)
+        if config.grid_distort_prob > 0.0:
+            # per-axis map is monotonic: box corners map through its inverse
+            # (interp with swapped knots)
+            new_cols = []
+            for ax in range(3):
+                size = float(img.shape[ax])
+                knots_in, knots_out = dist_knots[ax]
+                lo = jnp.interp(boxes[..., ax] * size, knots_in, knots_out)
+                hi = jnp.interp(boxes[..., ax + 3] * size, knots_in, knots_out)
+                new_cols.append((lo / size, hi / size))
+            boxes = jnp.stack(
+                [new_cols[0][0], new_cols[1][0], new_cols[2][0],
+                 new_cols[0][1], new_cols[1][1], new_cols[2][1]], axis=-1
+            )
 
     if config.shift_intensity > 0.0:
         rng, kdo, kv = jax.random.split(rng, 3)

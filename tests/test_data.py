@@ -438,3 +438,18 @@ def test_multicontrast_channel_subset(tmp_path):
     assert s_all["img"].shape[-1] == 3 and s_one["img"].shape[-1] == 1
     np.testing.assert_array_equal(s_one["img"][..., 0], s_all["img"][..., 0])
     np.testing.assert_array_equal(s_one["boxes"], s_all["boxes"])
+
+
+def test_augment_composed_flip_is_exact():
+    """Flips route through the composed MXU resample; integer coordinates
+    make the interpolation matrix an exact permutation, so a forced flip
+    must be BIT-exact against jnp.flip (no interpolation smoothing)."""
+    rng = np.random.default_rng(5)
+    img = rng.normal(0, 1, (16, 12, 10, 2)).astype(np.float32)
+    boxes = np.array([[0.1, 0.2, 0.3, 0.5, 0.6, 0.7]], np.float32)
+    cfg = AugmentConfig(flip_axes=(0, 1, 2), flip_prob=1.0)
+    img_aug, _ = augment_sample(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(boxes), cfg
+    )
+    expected = np.flip(img, axis=(0, 1, 2))
+    np.testing.assert_array_equal(np.asarray(img_aug), expected)
