@@ -36,7 +36,9 @@ _TILE = 128
 _UNION_EPS = 1e-12
 
 
-def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, m_ref, *, max_overlap):
+def _nms_kernel(
+    boxes_ref, boxes_t_ref, valid_ref, keep_ref, m_ref, kv_ref, *, max_overlap
+):
     """One program = one (image, class) candidate set.
 
     boxes_ref   (1, K, 6)      f32 corner boxes, score-sorted
@@ -52,21 +54,36 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, m_ref, *, max_overl
     k = keep_ref.shape[2]
     nt = k // _TILE
 
-    m_ref[:] = jnp.zeros((k, k), jnp.bfloat16)
+    # Data-adaptive trip count: an invalid candidate (score <= min_score, or
+    # padding) can neither suppress (keep[j] is always 0) nor survive
+    # (keep[i] forced 0 by valid), so M tiles past the last valid candidate
+    # may stay zero. detect_objects feeds score-SORTED candidates, making
+    # validity a prefix — only ceil(last_valid/T) tiles carry any work (IoU
+    # build, memset, AND the fixpoint mat-vec below), and at serving-time
+    # min_scores that skips most of the O(K^2) cost. This mirrors the
+    # reference, which filters by min_score BEFORE its NMS loop
+    # (ssd3d.py:389-394). Non-prefix validity is still exact: the bound uses
+    # the LAST valid index, not the count.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) + 1
+    last_valid = jnp.max(jnp.where(valid_ref[0] > 0.0, pos, 0))  # 0 if none
+    nt_active = jnp.minimum((last_valid + _TILE - 1) // _TILE, nt)
 
-    for t in range(nt):  # row tile: suppressors j
-        r_lo = [boxes_ref[0, t * _TILE : (t + 1) * _TILE, d : d + 1] for d in range(3)]
-        r_hi = [boxes_ref[0, t * _TILE : (t + 1) * _TILE, d + 3 : d + 4] for d in range(3)]
+    def row_body(t, _):
+        rt = pl.ds(t * _TILE, _TILE)
+        m_ref[rt, :] = jnp.zeros((_TILE, k), jnp.bfloat16)
+        r_lo = [boxes_ref[0, rt, d : d + 1] for d in range(3)]
+        r_hi = [boxes_ref[0, rt, d + 3 : d + 4] for d in range(3)]
         vol_r = r_lo[0] * 0.0 + 1.0
         for d in range(3):
             vol_r = vol_r * (r_hi[d] - r_lo[d])  # (T, 1)
 
-        for s in range(t, nt):  # column tile: suppressees i (j < i => s >= t)
+        def col_body(s, _):
+            # column tile: suppressees i (j < i => s >= t)
             inter = jnp.ones((_TILE, _TILE), jnp.float32)
             vol_c = jnp.ones((1, _TILE), jnp.float32)
             for d in range(3):
-                c_lo = boxes_t_ref[0, d, s : s + 1, :]  # (1, T), lane offset 0
-                c_hi = boxes_t_ref[0, d + 3, s : s + 1, :]
+                c_lo = boxes_t_ref[0, d, pl.ds(s, 1), :]  # (1, T), lane offset 0
+                c_hi = boxes_t_ref[0, d + 3, pl.ds(s, 1), :]
                 vol_c = vol_c * (c_hi - c_lo)
                 lower = jnp.maximum(r_lo[d], c_lo)  # (T, T)
                 upper = jnp.minimum(r_hi[d], c_hi)
@@ -76,9 +93,13 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, m_ref, *, max_overl
             row_g = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0) + t * _TILE
             col_g = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1) + s * _TILE
             blk = (iou > max_overlap) & (row_g < col_g)
-            m_ref[t * _TILE : (t + 1) * _TILE, s * _TILE : (s + 1) * _TILE] = blk.astype(
-                jnp.bfloat16
-            )
+            m_ref[rt, pl.ds(s * _TILE, _TILE)] = blk.astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(t, nt_active, col_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nt_active, row_body, 0)
 
     valid_row = valid_ref[0]  # (1, K) f32
 
@@ -87,8 +108,20 @@ def _nms_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, m_ref, *, max_overl
 
     def body(carry):
         keep, _ = carry
-        counts = jnp.dot(
-            keep.astype(jnp.bfloat16), m_ref[:], preferred_element_type=jnp.float32
+        # Mosaic can't dynamic_slice a value: stage keep through VMEM so the
+        # active-tile loop can slice it with pl.ds.
+        kv_ref[:] = keep.astype(jnp.bfloat16)
+
+        # counts[i] = sum_j keep[j] * M[j, i], accumulated over ACTIVE row
+        # tiles only — rows past last_valid hold keep[j]=0 (and were never
+        # zeroed), so they must not be read.
+        def acc_tile(t, counts):
+            kt = kv_ref[:, pl.ds(t * _TILE, _TILE)]
+            mt = m_ref[pl.ds(t * _TILE, _TILE), :]
+            return counts + jnp.dot(kt, mt, preferred_element_type=jnp.float32)
+
+        counts = jax.lax.fori_loop(
+            0, nt_active, acc_tile, jnp.zeros((1, k), jnp.float32)
         )  # (1, K): number of kept higher-scored suppressors of each i
         new = jnp.where((counts == 0.0) & (valid_row > 0.0), 1.0, 0.0)
         return new, jnp.any(new != keep)
@@ -130,7 +163,10 @@ def greedy_nms_pallas(
         ],
         out_specs=pl.BlockSpec((1, 1, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1, k_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k_pad, k_pad), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, k_pad), jnp.bfloat16),
+            pltpu.VMEM((1, k_pad), jnp.bfloat16),
+        ],
         interpret=interpret,
     )(boxes, boxes_t, valid_f)
 

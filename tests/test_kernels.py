@@ -105,3 +105,30 @@ def test_pallas_nms_parity_interpret():
         for i in range(n)
     ])
     np.testing.assert_array_equal(keep_pl, keep_xla)
+
+
+def test_pallas_nms_tile_skip_prefix_validity():
+    """Score-sorted candidates make validity a prefix; fully-invalid tiles
+    are skipped in the kernel and must still yield exact parity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mslesions3d_tpu.kernels.nms import greedy_nms_pallas
+    from mslesions3d_tpu.ops.nms import greedy_nms
+
+    rng = np.random.default_rng(9)
+    n, k = 3, 384  # 3 tiles of 128
+    lo = rng.uniform(0, 0.7, (n, k, 3)).astype(np.float32)
+    hi = np.clip(lo + rng.uniform(0.05, 0.3, (n, k, 3)), 0, 1).astype(np.float32)
+    boxes = np.concatenate([lo, hi], -1)
+    valid = np.zeros((n, k), bool)
+    valid[0, :90] = True    # only tile 0 has valid candidates
+    valid[1, :200] = True   # tiles 0-1
+    valid[2, :] = True      # all tiles
+    keep_pl = np.asarray(
+        greedy_nms_pallas(jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True)
+    )
+    keep_xla = np.stack([
+        np.asarray(greedy_nms(jnp.asarray(boxes[i]), jnp.asarray(valid[i]), 0.5))
+        for i in range(n)
+    ])
+    np.testing.assert_array_equal(keep_pl, keep_xla)
