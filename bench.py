@@ -79,9 +79,11 @@ def measure(batch: int, iters: int = 20) -> float:
 SW_VOLUME = (192, 224, 192)  # BASELINE.json config #3 full-volume geometry
 
 
-def measure_sliding_window(iters: int = 20) -> float:
+def measure_sliding_window(iters: int = 20, volume_batch: int = 1) -> float:
     """Full-volume sliding-window detection (96^3 patches, on-device
-    stitching) — the literal headline metric (BASELINE.json config #3)."""
+    stitching) — the literal headline metric (BASELINE.json config #3).
+    volume_batch > 1 = throughput mode: several volumes' patch grids share
+    large device batches."""
     from mslesions3d_tpu.sliding_window import make_sliding_window_detector
 
     config = SSD3DConfig.create(
@@ -91,18 +93,22 @@ def measure_sliding_window(iters: int = 20) -> float:
     model = SSD3D(config)
     images = jnp.zeros((1, *VOLUME, 1), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), images, train=False)
-    detect = make_sliding_window_detector(config, SW_VOLUME)
-    volume = jnp.zeros((*SW_VOLUME, 1), jnp.bfloat16)
-    detect(variables, volume)["count"].block_until_ready()  # compile
+    detect = make_sliding_window_detector(
+        config, SW_VOLUME, volume_batch=volume_batch
+    )
+    shape = (*SW_VOLUME, 1) if volume_batch == 1 else (volume_batch, *SW_VOLUME, 1)
+    volume = jnp.zeros(shape, jnp.bfloat16)
+    iters = max(iters // volume_batch, 5)
+    np.asarray(detect(variables, volume)["count"])  # compile + real sync
     for _ in range(3):
         out = detect(variables, volume)
-    out["count"].block_until_ready()
+    np.asarray(out["count"])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = detect(variables, volume)
-    out["count"].block_until_ready()
+    np.asarray(out["count"])  # host readback: block_until_ready under-reports
     dt = time.perf_counter() - t0
-    return iters / dt
+    return volume_batch * iters / dt
 
 
 TRAIN_VOLUME = (64, 64, 64)  # reference training geometry (train.py:30)
@@ -169,6 +175,10 @@ def main():
         sw = measure_sliding_window()
         print(f"# sliding-window {SW_VOLUME}: {sw:.2f} volumes/sec", flush=True)
         extra["sliding_window_192x224x192_volumes_per_sec"] = round(sw, 3)
+        sw16 = measure_sliding_window(volume_batch=16)
+        print(f"# sliding-window {SW_VOLUME} x16 volumes: {sw16:.2f} volumes/sec",
+              flush=True)
+        extra["sliding_window_192x224x192_x16_volumes_per_sec"] = round(sw16, 3)
     except Exception as e:
         print(f"# sliding-window failed: {type(e).__name__}", flush=True)
 

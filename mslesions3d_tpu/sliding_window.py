@@ -58,6 +58,7 @@ def make_sliding_window_detector(
     max_overlap: float | None = None,
     top_k: int | None = None,
     per_patch_k: int | None = None,
+    volume_batch: int = 1,
 ):
     """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
 
@@ -73,20 +74,34 @@ def make_sliding_window_detector(
     (default max(top_k // 2, 16)); a lesion-dense patch that saturates it
     silently loses detections, so raise it (up to top_k) when per-patch
     counts can approach the cap. The cap is announced at build time.
+
+    ``volume_batch > 1`` builds the THROUGHPUT variant: fn takes volumes
+    (V, D, H, W, C) and returns per-volume stitched detections with leading
+    axis V. One volume's patch grid (27 patches at the headline geometry)
+    underfills the chip — batching V volumes' grids into shared device
+    batches recovers the large-batch inference rate (patch_batch then
+    defaults to up to 128).
     """
     model = SSD3D(config)
     priors = jnp.asarray(model_priors(config))
     patch = config.input_size
     offsets = patch_offsets(volume_shape, patch, overlap)
     n_patches = offsets.shape[0]
+    n_volumes = int(volume_batch)
+    total = n_volumes * n_patches
     if patch_batch is None:
-        patch_batch = min(-(-n_patches // 8) * 8, 32)
-    # pad the patch grid to a multiple of the device batch
-    n_padded = -(-n_patches // patch_batch) * patch_batch
-    offsets_padded = np.concatenate(
-        [offsets, np.repeat(offsets[-1:], n_padded - n_patches, axis=0)], axis=0
+        patch_batch = min(-(-total // 8) * 8, 32 if n_volumes == 1 else 128)
+    # flat (volume, offset) work list, padded to a multiple of the device batch
+    n_padded = -(-total // patch_batch) * patch_batch
+    vol_idx_flat = np.concatenate(
+        [np.repeat(np.arange(n_volumes, dtype=np.int32), n_patches),
+         np.zeros(n_padded - total, np.int32)]
     )
-    patch_valid = np.arange(n_padded) < n_patches
+    offsets_padded = np.concatenate(
+        [np.tile(offsets, (n_volumes, 1)),
+         np.repeat(offsets[-1:], n_padded - total, axis=0)], axis=0
+    )
+    patch_valid = np.arange(n_padded) < total
 
     min_score = config.min_score if min_score is None else min_score
     max_overlap = config.max_overlap if max_overlap is None else max_overlap
@@ -105,18 +120,22 @@ def make_sliding_window_detector(
 
     @jax.jit
     def run(variables, volume):
+        volumes = volume[None] if volume.ndim == 4 else volume  # (V, D, H, W, C)
         offs = jnp.asarray(offsets_padded)
+        vidx = jnp.asarray(vol_idx_flat)
         valid = jnp.asarray(patch_valid)
 
-        def extract(off):
+        def extract(vi, off):
             return jax.lax.dynamic_slice(
-                volume, (off[0], off[1], off[2], 0), (*patch, volume.shape[-1])
-            )
+                volumes, (vi, off[0], off[1], off[2], 0),
+                (1, *patch, volumes.shape[-1]),
+            )[0]
 
         def process_chunk(carry, idx):
             chunk_offs = jax.lax.dynamic_slice_in_dim(offs, idx * patch_batch, patch_batch)
+            chunk_vidx = jax.lax.dynamic_slice_in_dim(vidx, idx * patch_batch, patch_batch)
             chunk_valid = jax.lax.dynamic_slice_in_dim(valid, idx * patch_batch, patch_batch)
-            patches = jax.vmap(extract)(chunk_offs)
+            patches = jax.vmap(extract)(chunk_vidx, chunk_offs)
             locs, scores = model.apply(variables, patches, train=False)
             det = detect_objects(
                 locs, scores, priors,
@@ -143,36 +162,61 @@ def make_sliding_window_detector(
         _, (boxes, labels, scores) = jax.lax.scan(
             process_chunk, None, jnp.arange(n_chunks)
         )
-        # flatten (chunks, B, K, ...) -> (N, ...)
-        boxes = boxes.reshape(-1, 6)
-        labels = labels.reshape(-1)
-        scores = scores.reshape(-1)
+        # (chunks, B, K, ...) -> drop grid padding -> (V, per-volume cands, ...)
+        k_slots = boxes.shape[2]  # detect_objects may return < per_patch_k
+        per_vol = n_patches * k_slots
+        boxes = boxes.reshape(-1, 6)[: total * k_slots].reshape(n_volumes, per_vol, 6)
+        labels = labels.reshape(-1)[: total * k_slots].reshape(n_volumes, per_vol)
+        scores = scores.reshape(-1)[: total * k_slots].reshape(n_volumes, per_vol)
 
         # second-stage class-wise NMS to merge duplicate detections from
-        # overlapping patches
-        def stitch_class(c):
-            cls_scores = jnp.where(labels == c, scores, 0.0)
-            k = min(10 * top_k, cls_scores.shape[0])
-            cand_scores, cand_idx = jax.lax.top_k(cls_scores, k)
-            cand_boxes = boxes[cand_idx]
-            keep = greedy_nms(cand_boxes, cand_scores > min_score, max_overlap)
-            return cand_boxes, jnp.where(keep, cand_scores, NEG_INF)
-
+        # overlapping patches — (volume, class) candidate sets flattened into
+        # one batch so the fused Pallas kernel (TPU) serves the stitch too;
+        # XLA fixpoint elsewhere
+        cm = config.n_classes - 1
         cls_range = jnp.arange(1, config.n_classes)
-        cls_boxes, cls_scores = jax.vmap(stitch_class)(cls_range)
-        cls_labels = jnp.broadcast_to(cls_range[:, None], cls_scores.shape)
+        k = min(10 * top_k, per_vol)
 
-        flat_scores = cls_scores.reshape(-1)
-        flat_boxes = cls_boxes.reshape(-1, 6)
-        flat_labels = cls_labels.reshape(-1)
-        best_scores, best_idx = jax.lax.top_k(flat_scores, min(top_k, flat_scores.shape[0]))
+        def gather_vol_class(v_scores, v_labels, v_boxes):
+            def gather_class(c):
+                c_scores = jnp.where(v_labels == c, v_scores, 0.0)
+                cand_scores, cand_idx = jax.lax.top_k(c_scores, k)
+                return v_boxes[cand_idx], cand_scores
+
+            return jax.vmap(gather_class)(cls_range)  # (Cm, k, ...)
+
+        cls_boxes, cand_scores = jax.vmap(gather_vol_class)(scores, labels, boxes)
+        cls_boxes = cls_boxes.reshape(n_volumes * cm, k, 6)
+        cand_scores = cand_scores.reshape(n_volumes * cm, k)
+        cand_valid = cand_scores > min_score
+        if jax.default_backend() == "tpu":
+            from .kernels.nms import greedy_nms_pallas
+
+            keep = greedy_nms_pallas(cls_boxes, cand_valid, float(max_overlap))
+        else:
+            keep = jax.vmap(lambda bx, v: greedy_nms(bx, v, max_overlap))(
+                cls_boxes, cand_valid
+            )
+        kept_scores = jnp.where(keep, cand_scores, NEG_INF)
+
+        # per volume: global top-k across classes
+        cls_labels = jnp.broadcast_to(
+            cls_range[None, :, None], (n_volumes, cm, k)
+        )
+        flat_scores = kept_scores.reshape(n_volumes, cm * k)
+        flat_boxes = cls_boxes.reshape(n_volumes, cm * k, 6)
+        flat_labels = cls_labels.reshape(n_volumes, cm * k)
+        best_scores, best_idx = jax.lax.top_k(flat_scores, min(top_k, cm * k))
         sel = best_scores > NEG_INF / 2
+        picked_boxes = jnp.take_along_axis(flat_boxes, best_idx[..., None], axis=1)
+        picked_labels = jnp.take_along_axis(flat_labels, best_idx, axis=1)
         return {
-            "boxes": jnp.where(sel[:, None], flat_boxes[best_idx], 0.0)[None],
-            "labels": jnp.where(sel, flat_labels[best_idx], 0)[None],
-            "scores": jnp.where(sel, best_scores, 0.0)[None],
-            "count": sel.sum()[None],
+            "boxes": jnp.where(sel[..., None], picked_boxes, 0.0),
+            "labels": jnp.where(sel, picked_labels, 0),
+            "scores": jnp.where(sel, best_scores, 0.0),
+            "count": sel.sum(-1),
         }
 
     run.n_patches = n_patches
+    run.volume_batch = n_volumes
     return run

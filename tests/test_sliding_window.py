@@ -72,3 +72,34 @@ def test_sliding_window_global_coordinates():
     # with min_score=0 every patch emits candidates; some must land in the
     # second half of the volume (global coords), not all inside patch 0
     assert (mids > 0.5).any()
+
+
+def test_sliding_window_volume_batch_matches_single():
+    """volume_batch=V on V stacked volumes == the single-volume detector per
+    volume (throughput mode must not change results)."""
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        width_mult=0.25, min_score=0.2, top_k=10,
+    )
+    model = SSD3D(config)
+    rng = np.random.default_rng(3)
+    vols = jnp.asarray(rng.normal(0, 1, (3, 48, 40, 48, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), vols[0][None, :32, :32, :32], train=False)
+
+    single = make_sliding_window_detector(config, (48, 40, 48))
+    batched = make_sliding_window_detector(config, (48, 40, 48), volume_batch=3)
+
+    out_b = batched(variables, vols)
+    for i in range(3):
+        out_s = single(variables, vols[i])
+        np.testing.assert_array_equal(
+            np.asarray(out_b["count"])[i], np.asarray(out_s["count"])[0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["scores"])[i], np.asarray(out_s["scores"])[0],
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["boxes"])[i], np.asarray(out_s["boxes"])[0],
+            rtol=1e-5, atol=1e-6,
+        )
