@@ -35,7 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_classes", type=int, default=1)
     p.add_argument("-b", "--batch_size", type=int, default=8)
     p.add_argument("-lr", "--learning_rate", type=float, default=0.001)
-    p.add_argument("-sr", "--scheduler", type=str, default="CosineAnnealingLR")
+    p.add_argument("-sr", "--scheduler", type=str, default="CosineAnnealingLR",
+                   choices=["CosineAnnealingLR", "cosine_annealed", "none"],
+                   help="CosineAnnealingLR = reference parity (per-step, "
+                        "period t_max=40, oscillates forever); cosine_annealed "
+                        "= one half-cosine over t_max steps (defaults to "
+                        "max_iterations) then eta_min")
+    p.add_argument("--t_max", type=int, default=None,
+                   help="cosine period/horizon in steps (default: 40 for "
+                        "CosineAnnealingLR parity, max_iterations for "
+                        "cosine_annealed)")
     p.add_argument("-th", "--threshold", type=float, default=[0.1, 0.2], nargs="+",
                    help="IoU threshold(s) for box matching (1=hard, 2=soft band)")
     p.add_argument("-pl", "--prediction_layers", type=str, default="3 5 7")
@@ -158,6 +167,9 @@ def main(argv=None):
         lr=args.learning_rate,
         width_mult=args.width_mult,
         scheduler=args.scheduler,
+        t_max=(args.t_max if args.t_max is not None
+               else (args.max_iterations if args.scheduler == "cosine_annealed"
+                     else 40)),
         batch_size=args.batch_size,
         comments=args.comments,
         compute_metric_every_n_epochs=args.compute_metric_every_n_epochs,

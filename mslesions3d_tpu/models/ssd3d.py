@@ -57,6 +57,7 @@ class SSD3DConfig:
     min_overlap: float = 0.5
     top_k: int = 100
     scheduler: str = "CosineAnnealingLR"
+    t_max: int = 40  # cosine period (reference: per-step, T_max=40)
     batch_size: int = 8
     compute_metric_every_n_epochs: int = 1
     aspect_ratios: tuple = _freeze_ratios(DEFAULT_ASPECT_RATIOS)

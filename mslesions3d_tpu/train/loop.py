@@ -50,6 +50,7 @@ from .state import create_train_state, make_optimizer
 from .steps import (
     make_eval_step,
     make_gathered_eval_step,
+    make_gathered_train_epoch,
     make_gathered_train_step,
     make_sharded_gathered_train_step,
     make_train_step,
@@ -81,6 +82,13 @@ class TrainerConfig:
     # for data_parallel, datasets over the byte cap, or < 1 full batch.
     device_data_cache: bool = True
     device_cache_max_bytes: int = 4 << 30
+    # scan whole NON-METRIC epochs into one device program (device-resident
+    # cache only): one dispatch per epoch instead of per step — on a
+    # tunneled TPU the per-step host work costs several times the step
+    # itself. Trade-off: gradient histograms then attach to metric/
+    # instrumented epochs (every compute_metric_every_n_epochs*2) instead of
+    # a strict every-25-steps cadence.
+    epoch_scan: bool = True
     log_every_n_steps: int = 10
     grad_hist_every_n_steps: int = 25  # TB grad histograms (0 = off)
     # abort after this many consecutive non-finite steps; detected on the
@@ -249,6 +257,8 @@ class Trainer:
                 return_grads=cfg.grad_hist_every_n_steps > 0, **kw)
             eval_step_g = make_gathered_eval_step(
                 config, model, priors, with_detections=True, **kw)
+            train_epoch_g = make_gathered_train_epoch(
+                config, model, priors, augment, **kw)
 
         logger = MetricsLogger(cfg.logdir, cfg.experiment_name, cfg.use_wandb,
                                wandb_config=config.to_json_dict())
@@ -256,7 +266,7 @@ class Trainer:
             logger.logdir / "checkpoints", monitor="avg_val_loss",
             mode="min", save_top_k=cfg.save_top_k,
         )
-        _, schedule = make_optimizer(config.lr, config.scheduler)
+        _, schedule = make_optimizer(config.lr, config.scheduler, t_max=config.t_max)
 
         best_val = float("inf")
         patience_left = cfg.early_stopping_patience
@@ -314,8 +324,50 @@ class Trainer:
                     prefetch=2,
                     sharding=batch_sharding(mesh) if mesh is not None else None,
                 )
+            # per-step keys derive from one per-epoch key: fold_in(epoch_rng,
+            # global step). The scanned-epoch program derives the SAME keys on
+            # device from state.step, so scanned and stepped epochs are
+            # numerically identical.
+            rng, epoch_rng = jax.random.split(rng)
+
+            use_epoch_scan = (
+                cfg.epoch_scan and train_data is not None and not sharded_cache
+                and not compute_train_metrics and isinstance(batches, list)
+                and len(batches) > 0
+            )
+            if use_epoch_scan:
+                # one device program for the whole epoch: no per-step host
+                # work (rng ops, index uploads, dispatch round trips)
+                if cfg.max_steps > 0:
+                    batches = batches[: max(cfg.max_steps - step, 0)]
+                use_epoch_scan = len(batches) > 0
+            if use_epoch_scan:
+                idx_mat = jnp.asarray(np.stack(batches).astype(np.int32))
+                state, ms = train_epoch_g(state, train_data, idx_mat, epoch_rng)
+                host_ms = jax.device_get(ms)
+                for i in range(idx_mat.shape[0]):
+                    step += 1
+                    train_losses.append(
+                        {k: host_ms[k][i]
+                         for k in ("total_loss", "conf_loss", "loc_loss")}
+                    )
+                    if step % cfg.log_every_n_steps == 0:
+                        check_streak({"nonfinite_streak": host_ms["nonfinite_streak"][i]})
+                        logger.log(
+                            {
+                                "total_loss/training": host_ms["total_loss"][i],
+                                "confidence_loss/training": host_ms["conf_loss"][i],
+                                "localization_loss/training": host_ms["loc_loss"][i],
+                                "grad_norm/training": host_ms["grad_norm"][i],
+                            },
+                            step,
+                        )
+                batches = []  # consumed
+                if cfg.max_steps > 0 and step >= cfg.max_steps:
+                    done = True
+
             for batch in batches:
-                rng, step_rng = jax.random.split(rng)
+                step_rng = jax.random.fold_in(epoch_rng, step)
                 grad_hist = (
                     cfg.grad_hist_every_n_steps > 0
                     and step % cfg.grad_hist_every_n_steps == 0
@@ -361,6 +413,8 @@ class Trainer:
                 if cfg.max_steps > 0 and step >= cfg.max_steps:
                     done = True
                     break
+            if cfg.max_steps > 0 and step >= cfg.max_steps:
+                done = True  # also covers epochs emptied by scan truncation
             # epoch boundary: one authoritative streak check (covers runs
             # whose divergence never lands on the logging cadence)
             check_streak({"nonfinite_streak": jax.device_get(state.nonfinite_streak)})

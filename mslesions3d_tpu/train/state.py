@@ -56,9 +56,23 @@ def _is_bias(path) -> bool:
 
 def make_optimizer(lr: float, scheduler: str = "CosineAnnealingLR",
                    weight_decay: float = 5e-4, t_max: int = 40):
-    """Adam + L2 decay with a 2x-lr bias group and per-step cosine schedule."""
+    """Adam + L2 decay with a 2x-lr bias group and per-step cosine schedule.
+
+    Schedulers:
+      CosineAnnealingLR  torch parity — per-step cosine with period t_max
+                         (default 40); past t_max it OSCILLATES forever
+                         (reference ssd3d.py:527-529,719), never annealing.
+      cosine_annealed    framework extension — one half-cosine over t_max
+                         steps then held at eta_min (a real decay; set
+                         t_max = total training steps). The train CLI
+                         defaults t_max to max_iterations for this mode.
+      none               constant lr.
+    """
     if scheduler == "CosineAnnealingLR":
         base_schedule = cosine_annealing_schedule(lr, t_max)
+    elif scheduler == "cosine_annealed":
+        periodic = cosine_annealing_schedule(lr, t_max)
+        base_schedule = lambda step: periodic(jnp.minimum(step, t_max))
     elif scheduler == "none":
         base_schedule = lambda step: jnp.asarray(lr)
     else:
@@ -124,7 +138,7 @@ def create_train_state(model, config, rng, kaiming: bool = True) -> TrainState:
         params = kaiming_init_overrides(params, kaiming_rng)
     batch_stats = variables.get("batch_stats", FrozenDict())
 
-    tx, _ = make_optimizer(config.lr, config.scheduler)
+    tx, _ = make_optimizer(config.lr, config.scheduler, t_max=config.t_max)
     opt_state = tx.init(params)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

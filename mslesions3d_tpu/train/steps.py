@@ -176,6 +176,39 @@ def make_gathered_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_gathered_train_epoch(config: SSD3DConfig, model: SSD3D, priors_center,
+                              augment: AugmentConfig | None = None, **kwargs):
+    """Whole-epoch train program: fn(state, data, idx_matrix, epoch_rng).
+
+    ``idx_matrix`` (n_batches, B) int32 selects every batch of the epoch;
+    lax.scan runs them back-to-back ON DEVICE. On a tunneled TPU the
+    per-step host work of the python loop (rng op + index upload + dispatch
+    round trip) costs several times the ~6 ms step itself — one dispatch per
+    EPOCH removes it. Per-step keys are fold_in(epoch_rng, state.step),
+    matching the python loop's key derivation exactly, so scanned and
+    stepped epochs are numerically identical (tested). Returns
+    (final state, stacked per-batch metrics (n_batches, ...)) — losses come
+    back as one bulk transfer for epoch-end logging.
+    """
+    body = make_train_step(config, model, priors_center, augment,
+                           jit=False, **{**kwargs, "donate": False})
+    donate = kwargs.get("donate", True)
+
+    def epoch(state, data, idx_matrix, epoch_rng):
+        def scan_body(st, idx):
+            key = jax.random.fold_in(epoch_rng, st.step)
+            batch = _gather_rows(data, idx)
+            batch["batch_mask"] = jnp.ones(idx.shape, bool)
+            st2, m = body(st, batch, key)
+            keep = {k: m[k] for k in ("total_loss", "conf_loss", "loc_loss",
+                                       "grad_norm", "nonfinite_streak")}
+            return st2, keep
+
+        return jax.lax.scan(scan_body, state, idx_matrix)
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                    with_detections: bool = True,
                    hard_negative_mining: bool = False, jit: bool = True):
