@@ -97,3 +97,48 @@ def test_tensor_parallel_train_step_3d_mesh():
     _, metrics = step(state_sh, sharded_batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(metrics["total_loss"]),
                                float(ref_metrics["total_loss"]), rtol=1e-4)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers degenerate correctly in a single process (the mesh
+    math itself is what multi-process runs reuse)."""
+    import jax
+    import numpy as np
+    from mslesions3d_tpu.parallel import (
+        dcn_friendly_mesh, initialize_multihost, process_batch_slice,
+    )
+
+    assert initialize_multihost() is False  # single process: no-op
+    assert process_batch_slice(8) == slice(0, 8)
+
+    mesh = dcn_friendly_mesh()  # (data=8, model=1) on the CPU mesh
+    assert mesh.shape["data"] == jax.device_count()
+    assert mesh.shape["model"] == 1
+
+    mesh2 = dcn_friendly_mesh(data_per_slice=4)  # 8 local chips -> model=2
+    assert mesh2.shape["model"] == 2
+    assert mesh2.shape["data"] == jax.device_count() // 2
+
+    # the sharded step must compile over a dcn_friendly mesh's data axis
+    from mslesions3d_tpu.parallel import shard_batch
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+    from mslesions3d_tpu.train import create_train_state, make_train_step
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16), width_mult=0.25,
+        threshold=[0.1, 0.2],
+    )
+    model = SSD3D(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, model_priors(cfg), donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(0, 1, (8, 16, 16, 16, 1)).astype(np.float32),
+        "boxes": np.tile(np.asarray([[0.2, 0.2, 0.2, 0.6, 0.6, 0.6]], np.float32), (8, 1, 1)),
+        "labels": np.ones((8, 1), np.int32),
+        "box_mask": np.ones((8, 1), bool),
+        "batch_mask": np.ones((8,), bool),
+    }
+    sharded = shard_batch(batch, mesh)
+    _, m = step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
