@@ -74,7 +74,7 @@ class _BaseDataModule:
         if self.subject is not None:
             return [self.subject], [self.subject]
         if self.percentage == -1:
-            rng = np.random.default_rng()
+            rng = np.random.default_rng(self.random_state)
             pick = self.subjects_list[rng.integers(0, len(self.subjects_list))]
             print("Picked subject", pick)
             return [pick], [pick]
@@ -206,10 +206,19 @@ class SyntheticDataModule(_BaseDataModule):
 
     def __init__(self, data_dir, dataset_name=None, n_classes=1, objects="multiple",
                  percentage=1.0, batch_size=8, random_state=DEFAULT_SEED,
-                 cache=True, subject=None, max_objects=16, channels=None):
+                 cache=True, subject=None, max_objects=16, channels=None,
+                 device_boxes=False):
         super().__init__(batch_size, max_objects, random_state, percentage, subject, cache)
         assert n_classes in (1, 2)
         self.n_classes = n_classes
+        # device_boxes: derive GT boxes with the ON-DEVICE connected-
+        # components kernel (ops/connected_components.py) instead of the
+        # host scipy path — the pipeline integration of SURVEY §2 C4's
+        # "TPU-native plan" (replaces reference utils.py:446 scipy.ndimage.
+        # label). One jitted program per seg shape; results are
+        # set-equivalent to the host path (tested).
+        self.device_boxes = device_boxes
+        self._device_boxes_fn = None
         # channel subset of multi-contrast (4-D) volumes, e.g. (0,) for a
         # FLAIR-only ablation of a FLAIR+T1+T2 dataset; None = all channels
         self.channels = tuple(channels) if channels is not None else None
@@ -234,6 +243,25 @@ class SyntheticDataModule(_BaseDataModule):
         )
         if percentage > 0:
             self.subjects_list = self.subjects_list[: int(percentage * len(self.subjects_list))]
+
+    def _boxes_on_device(self, seg):
+        """seg -> (boxes, labels) via the on-device CC kernel."""
+        import jax
+
+        if self._device_boxes_fn is None:
+            from functools import partial
+
+            from ..ops.connected_components import boxes_from_segmentation_device
+
+            self._device_boxes_fn = jax.jit(partial(
+                boxes_from_segmentation_device,
+                n_classes=self.n_classes, max_objects=self.max_objects,
+            ))
+        from ..ops.connected_components import compact_device_boxes
+
+        seg3 = seg[..., 0] if seg.ndim == 4 else seg
+        boxes, labels, valid = self._device_boxes_fn(np.asarray(seg3))
+        return compact_device_boxes(boxes, labels, valid)
 
     def _load_sample(self, subject):
         img_path = self.data_dir / "images" / f"sub-{subject}_image.nii.gz"
@@ -263,13 +291,37 @@ class SyntheticDataModule(_BaseDataModule):
             # pipeline parity: normalize(nonzero) -> boxes ("classes" mode)
             # (datasets.py:397-407)
             sample = t_normalize_intensity(sample, nonzero=True)
-        boxes, labels = boxes_from_segmentation(
-            sample["seg"], "classes", n_classes=self.n_classes
-        )
-        sample["boxes"], sample["labels"] = boxes, labels
+        if self.device_boxes:
+            sample["boxes"], sample["labels"] = self._boxes_on_device(sample["seg"])
+        else:
+            boxes, labels = boxes_from_segmentation(
+                sample["seg"], "classes", n_classes=self.n_classes
+            )
+            sample["boxes"], sample["labels"] = boxes, labels
         if self.channels is not None and sample["img"].ndim == 4:
             sample["img"] = np.ascontiguousarray(sample["img"][..., self.channels])
         return sample
+
+
+def stats_foreground(datamodule, subjects=None, verbose: bool = False):
+    """Survey seg shapes and voxel spacings over a datamodule.
+
+    Parity target: reference ``stats_foreground`` (datasets.py:338-355) —
+    iterates the dataset and returns (all_shapes, all_pixdims). Samples
+    without recorded pixdim (synthetic data, identity affine) report
+    (1.0, 1.0, 1.0).
+    """
+    all_shapes, all_pixdims = [], []
+    for s in (subjects if subjects is not None else datamodule.subjects_list):
+        sample = datamodule.get_sample(s)
+        shape = tuple(np.asarray(sample["seg"]).squeeze().shape)
+        if verbose:
+            print(shape)
+        all_shapes.append(shape)
+        pixdim = sample.get("pixdim")
+        all_pixdims.append(tuple(float(x) for x in pixdim[:3])
+                           if pixdim is not None else (1.0, 1.0, 1.0))
+    return all_shapes, all_pixdims
 
 
 class LesionsDataModule(_BaseDataModule):

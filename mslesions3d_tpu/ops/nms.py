@@ -127,8 +127,23 @@ def detect_objects(
     b, num_priors, _ = predicted_scores.shape
     cm = n_classes - 1
     k = min(10 * top_k, num_priors)
+    # VMEM guard: the pallas kernel stages a (k_pad, k_pad) bf16 suppression
+    # matrix in VMEM (kernels/nms.py); a user-configured top_k in the
+    # thousands would blow the ~16 MB budget and fail Mosaic compilation.
+    _TILE = 128
+    k_pad = -(-k // _TILE) * _TILE
+    pallas_vmem_bytes = k_pad * k_pad * 2
+    PALLAS_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom for box blocks
     if nms_impl == "auto":
-        nms_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        fits = pallas_vmem_bytes <= PALLAS_VMEM_BUDGET
+        nms_impl = "pallas" if (jax.default_backend() == "tpu" and fits) else "xla"
+    elif nms_impl == "pallas" and pallas_vmem_bytes > PALLAS_VMEM_BUDGET:
+        raise ValueError(
+            f"nms_impl='pallas' needs a ({k_pad}, {k_pad}) bf16 VMEM scratch "
+            f"({pallas_vmem_bytes / 2**20:.1f} MiB > "
+            f"{PALLAS_VMEM_BUDGET / 2**20:.0f} MiB budget) for top_k={top_k}; "
+            "lower top_k or use nms_impl='xla'"
+        )
 
     probs = jax.nn.softmax(predicted_scores.astype(jnp.float32), axis=-1)  # (B, P, C)
     decoded = jax.vmap(

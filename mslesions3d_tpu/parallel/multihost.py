@@ -44,9 +44,28 @@ def initialize_multihost(coordinator_address: str | None = None,
     cover manual DCN setups. Returns True when a multi-process runtime is
     active after the call.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
-    if coordinator_address is None and num_processes in (None, 1):
+    # IMPORTANT: do not touch jax.process_count()/jax.devices() before
+    # deciding — they initialize the XLA backend, after which
+    # jax.distributed.initialize() unconditionally raises (round-2 advisor
+    # finding). Detect an already-initialized runtime from the client state
+    # and multi-process INTENT from the explicit args / standard TPU env.
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return jax.process_count() > 1  # already initialized
+    import os
+
+    # TPU_WORKER_HOSTNAMES counts only with >1 hosts: single-worker setups
+    # (e.g. the axon tunnel exports "localhost") are not multi-process.
+    workers = [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    intent = (
+        coordinator_address is not None
+        or (num_processes is not None and num_processes > 1)
+        or len(workers) > 1
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if not intent:
         return False  # single process: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -74,9 +93,17 @@ def dcn_friendly_mesh(data_per_slice: int | None = None,
     per_proc = len(devices) // n_proc
     if data_per_slice is None:
         model = 1
+        data_local = per_proc
     else:
+        if per_proc % data_per_slice:
+            raise ValueError(
+                f"data_per_slice={data_per_slice} does not divide the "
+                f"{per_proc} devices per process; choose a divisor of "
+                f"{per_proc} (got {n_proc} processes x {per_proc} devices)"
+            )
         model = per_proc // data_per_slice
-    data_local = per_proc // max(model, 1)
+        data_local = data_per_slice
+    assert data_local * model == per_proc
     grid = devices.reshape(n_proc * data_local, model)
     return Mesh(grid, axis_names)
 
@@ -96,3 +123,43 @@ def process_batch_slice(global_batch: int) -> slice:
     local = global_batch // p
     i = jax.process_index()
     return slice(i * local, (i + 1) * local)
+
+
+def make_global(tree, mesh: Mesh, spec) -> object:
+    """Pytree of process-local numpy arrays -> global jax.Arrays.
+
+    ``spec`` is a PartitionSpec applied to every leaf. For a replicated spec
+    (P()) every process passes the SAME full value; for a batch spec
+    (P("data")) each process passes its :func:`process_batch_slice` rows.
+    Single-process this is equivalent to a device_put with the sharding.
+    """
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
+
+
+def shard_global_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Multi-process-safe version of parallel.shard_batch: each process
+    contributes its :func:`process_batch_slice` rows of the GLOBAL batch
+    dict (array leaves only; id lists pass through)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    out = {}
+    sl = None
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            if sl is None:
+                sl = process_batch_slice(v.shape[0])
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(v[sl]), v.shape
+            )
+        else:
+            out[k] = v
+    return out

@@ -89,9 +89,25 @@ def make_tensor_parallel_forward(model, mesh: Mesh, axis: str = "model"):
         scores = jax.lax.with_sharding_constraint(scores, replicated)
         return locs, scores
 
-    def run(variables, images):
-        variables = jax.device_put(variables, tensor_sharding_tree(variables, mesh, axis))
-        images = jax.device_put(images, img_sharding)
-        return forward(variables, images)
+    # Cache the channel-sharded parameter placement: re-device_putting the
+    # full variable tree on every call wasted a host->device transfer per
+    # inference (round-2 advisor finding). The cache holds the source tree
+    # too, so an id() collision after GC cannot serve stale placements.
+    placed: dict = {}
 
+    def place_variables(variables):
+        key = id(variables)
+        if key not in placed or placed[key][0] is not variables:
+            placed.clear()
+            placed[key] = (
+                variables,
+                jax.device_put(variables, tensor_sharding_tree(variables, mesh, axis)),
+            )
+        return placed[key][1]
+
+    def run(variables, images):
+        images = jax.device_put(images, img_sharding)
+        return forward(place_variables(variables), images)
+
+    run.place_variables = place_variables
     return run

@@ -144,6 +144,16 @@ class ServingDetector:
         """images: (B, D, H, W, C) array -> detection dict (numpy, size B)."""
         images = np.asarray(images)
         n = images.shape[0]
+        if n == 0:
+            # empty request: zero-length detection dict shaped from the
+            # manifest (the chunk loop below would index outs[0])
+            top_k = self.config.top_k
+            return {
+                "boxes": np.zeros((0, top_k, 6), np.float32),
+                "labels": np.zeros((0, top_k), np.int32),
+                "scores": np.zeros((0, top_k), np.float32),
+                "count": np.zeros((0,), np.int32),
+            }
         outs = []
         start = 0
         while start < n:
