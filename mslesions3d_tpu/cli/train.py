@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dn", "--dataset_name", type=str, default=None)
     p.add_argument("--channels", type=int, nargs="*", default=None,
                    help="channel subset of multi-contrast volumes (e.g. 0 for FLAIR-only)")
+    p.add_argument("--device_boxes", type=int, default=0,
+                   help="derive GT boxes with the on-device connected-"
+                        "components kernel instead of host scipy "
+                        "(synthetic dataset)")
     p.add_argument("-su", "--subject", type=str, default=None,
                    help="train on a single subject id (debugging)")
     p.add_argument("-p", "--percentage", type=float, default=1.0)
@@ -144,6 +148,7 @@ def main(argv=None):
             dataset_name=args.dataset_name,
             n_classes=args.n_classes,
             channels=args.channels,
+            device_boxes=bool(args.device_boxes),
             subject=args.subject,
             percentage=args.percentage,
             batch_size=args.batch_size,
