@@ -180,14 +180,14 @@ def test_data_parallel_matches_single_device(tiny_setup):
 def test_trainer_fit_end_to_end(tmp_path):
     """Tiny synthetic run: loss decreases, checkpoints + metrics written."""
     root = generate_dataset(
-        tmp_path / "data", num_images=6, n_classes=1, image_size=(24, 24, 24),
-        object_size=(8, 12), num_objects=(1, 3), seed=0, subdir="ds",
+        tmp_path / "data", num_images=6, n_classes=1, image_size=(16, 16, 16),
+        object_size=(5, 8), num_objects=(1, 3), seed=0, subdir="ds",
     )
     dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2, max_objects=8)
     dm.setup("fit")
 
     cfg = SSD3DConfig.create(
-        n_classes=2, input_channels=1, input_size=(24, 24, 24),
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
         width_mult=0.25, lr=3e-3, threshold=[0.1, 0.2], batch_size=2,
         min_score=0.2,
     )
@@ -414,15 +414,15 @@ def test_epoch_scan_matches_per_step(tmp_path):
     paths. compute_metric_every_n_epochs=4 keeps epochs 1-3 metric-free so
     the scan path actually engages."""
     root = generate_dataset(
-        tmp_path / "data", num_images=6, n_classes=1, image_size=(24, 24, 24),
-        object_size=(8, 12), num_objects=(1, 3), seed=1, subdir="ds",
+        tmp_path / "data", num_images=6, n_classes=1, image_size=(16, 16, 16),
+        object_size=(5, 8), num_objects=(1, 3), seed=1, subdir="ds",
     )
 
     def run(scan: bool):
         dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2, max_objects=8)
         dm.setup("fit")
         cfg = SSD3DConfig.create(
-            n_classes=2, input_channels=1, input_size=(24, 24, 24),
+            n_classes=2, input_channels=1, input_size=(16, 16, 16),
             width_mult=0.25, lr=3e-3, threshold=[0.1, 0.2], batch_size=2,
         )
         tcfg = TrainerConfig(
