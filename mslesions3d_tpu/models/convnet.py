@@ -64,6 +64,7 @@ class ConvNetBackbone(nn.Module):
     feature_layers: Sequence[int] = (6, 9)
     config_name: str = "convnet_maxpool_double"
     dtype: Any = jnp.float32
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,6 +76,7 @@ class ConvNetBackbone(nn.Module):
                 x = max_pool_3d(x, 3, spec["strides"], 1)
             else:
                 x = ConvNormActBlock(spec["features"], spec["strides"], dtype=self.dtype,
+                                     init_scheme=self.init_scheme,
                                      name=f"layer_{i}")(x, train=train)
             if i in wanted:
                 features[i] = x

@@ -32,13 +32,61 @@ def _triple(v) -> tuple[int, int, int]:
     return tuple(v)
 
 
+def torch_kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch Conv3d/Linear default weight init, in flax kernel layout.
+
+    torch's ``kaiming_uniform_(a=sqrt(5))`` reduces to
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = C_in/groups * prod(k)
+    — which in flax layout ((k..., C_in/groups, C_out) for convs,
+    (in, out) for dense) is exactly prod(shape[:-1]).
+
+    Measured to matter: the trained-parity study (QUALITY.md) shows the
+    reference recipe lands at best-F1 0.507 from this init vs 0.394 from
+    flax ``lecun_normal`` — torch init IS part of reference behavior
+    (reference LSSD3D.init() is a no-op over bare convs, so torch defaults
+    apply; ssd3d.py:320-331).
+    """
+    import numpy as _np
+
+    fan_in = int(_np.prod(shape[:-1]))
+    bound = 1.0 / _np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_uniform(fan_in: int):
+    """torch Conv/Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    import numpy as _np
+
+    bound = 1.0 / _np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kernel_init_for(scheme: str):
+    """Conv/dense kernel initializer for an init scheme ("torch" | "flax")."""
+    if scheme == "torch":
+        return torch_kaiming_uniform
+    return nn.initializers.lecun_normal()
+
+
+def bias_init_for(scheme: str, fan_in: int):
+    """Bias initializer: torch uniform band, or flax zeros."""
+    if scheme == "torch":
+        return torch_bias_uniform(fan_in)
+    return nn.initializers.zeros
+
+
 class ConvParams(nn.Module):
     """Bare conv-kernel parameter holder (variable path <name>/kernel)."""
 
     shape: tuple
+    init_scheme: str = "torch"
 
     def setup(self):
-        self.kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        self.kernel = self.param("kernel", kernel_init_for(self.init_scheme), self.shape)
 
 
 class BatchNorm3d(nn.Module):
@@ -99,6 +147,7 @@ class ConvBNReLU(nn.Module):
     strides: Sequence[int] | int = 1
     kernel_size: Sequence[int] | int = 3
     dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,6 +162,7 @@ class ConvBNReLU(nn.Module):
             padding=tuple((ki // 2, ki // 2) for ki in k),
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=kernel_init_for(self.init_scheme),
             name="conv",
         )(x)
         x = nn.BatchNorm(
@@ -139,6 +189,7 @@ class DepthwiseSeparableBlock(nn.Module):
     strides: Sequence[int] | int = 1
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -146,7 +197,8 @@ class DepthwiseSeparableBlock(nn.Module):
 
         in_features = x.shape[-1]
         strides = _triple(self.strides)
-        dw_conv = ConvParams((3, 3, 3, 1, in_features), name="dw_conv")
+        dw_conv = ConvParams((3, 3, 3, 1, in_features),
+                             init_scheme=self.init_scheme, name="dw_conv")
         dw_bn = BatchNorm3d(in_features, name="dw_bn")
 
         pallas_eligible = (
@@ -181,6 +233,7 @@ class DepthwiseSeparableBlock(nn.Module):
             padding="VALID",
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=kernel_init_for(self.init_scheme),
             name="pw_conv",
         )(x)
         x = nn.BatchNorm(
@@ -203,6 +256,7 @@ class ConvNormActBlock(nn.Module):
     dropout_rate: float = 0.1
     prelu_init: float = 0.2
     dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,6 +267,8 @@ class ConvNormActBlock(nn.Module):
             padding=((1, 1), (1, 1), (1, 1)),  # torch-parity (see stem conv)
             use_bias=True,
             dtype=self.dtype,
+            kernel_init=kernel_init_for(self.init_scheme),
+            bias_init=bias_init_for(self.init_scheme, x.shape[-1] * 27),
             name="conv",
         )(x)
         # Instance norm: per-sample, per-channel normalization over D,H,W.

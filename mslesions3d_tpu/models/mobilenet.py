@@ -83,6 +83,7 @@ class MobileNetBackbone(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,10 +100,12 @@ class MobileNetBackbone(nn.Module):
         for i, spec in enumerate(plan):
             if spec["kind"] == "conv_bn":
                 x = conv_cls(spec["features"], spec["strides"], dtype=self.dtype,
+                             init_scheme=self.init_scheme,
                              name=f"layer_{i}")(x, train)
             else:
                 x = block_cls(spec["features"], spec["strides"],
                               dtype=self.dtype, use_pallas=self.use_pallas,
+                              init_scheme=self.init_scheme,
                               name=f"layer_{i}")(x, train)
             if i in wanted:
                 features[i] = x
@@ -119,14 +122,20 @@ class MobileNetClassifier(nn.Module):
     num_classes: int = 3
     width_mult: float = 1.0
     dtype: Any = jnp.float32
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .layers import bias_init_for, kernel_init_for
+
         plan = mobilenet_layer_plan("mobilenet", self.width_mult, cube=False)
         for i, spec in enumerate(plan):
             layer = ConvBNReLU if spec["kind"] == "conv_bn" else DepthwiseSeparableBlock
             x = layer(spec["features"], spec["strides"], dtype=self.dtype,
-                      name=f"layer_{i}")(x, train=train)
+                      init_scheme=self.init_scheme, name=f"layer_{i}")(x, train=train)
         x = jnp.mean(x, axis=(1, 2, 3))  # global average pool over D,H,W
         x = nn.Dropout(rate=0.2, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        kernel_init=kernel_init_for(self.init_scheme),
+                        bias_init=bias_init_for(self.init_scheme, x.shape[-1]),
+                        name="head")(x)

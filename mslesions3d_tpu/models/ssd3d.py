@@ -71,6 +71,12 @@ class SSD3DConfig:
     use_pallas: bool = False  # fused Pallas depthwise kernel at inference
     remat: bool = False  # jax.checkpoint each backbone block (memory for FLOPs)
     dtype: str = "float32"  # "bfloat16" for TPU hot path
+    # "torch" reproduces torch Conv3d/Linear default init (kaiming-uniform
+    # weights + uniform-band biases) — part of reference behavior (its init()
+    # is a no-op, ssd3d.py:320-331) and measured better than flax
+    # lecun_normal on the trained-parity study (QUALITY.md: best-F1 0.507 vs
+    # 0.394 at the same recipe). "flax" = lecun_normal + zero biases.
+    init_scheme: str = "torch"
     comments: str = ""
 
     @staticmethod
@@ -145,19 +151,29 @@ class PredictionHeads(nn.Module):
 
     @nn.compact
     def __call__(self, features: dict):
+        from .layers import bias_init_for, kernel_init_for
+
         cfg = self.config
+        scheme = cfg.init_scheme
         locs, scores = [], []
         for layer in sorted(features.keys()):
             x = features[layer]
             n_boxes = cfg.boxes_per_map(layer)
             batch = x.shape[0]
+            fan_in = x.shape[-1] * 27  # C_in * 3^3 (torch bias-band fan-in)
             # stride-1 k3: (1,1) padding == SAME; explicit for torch parity
             loc = nn.Conv(n_boxes * 6, kernel_size=(3, 3, 3),
                           padding=((1, 1), (1, 1), (1, 1)),
-                          dtype=cfg.compute_dtype, name=f"loc_{layer}")(x)
+                          dtype=cfg.compute_dtype,
+                          kernel_init=kernel_init_for(scheme),
+                          bias_init=bias_init_for(scheme, fan_in),
+                          name=f"loc_{layer}")(x)
             cls = nn.Conv(n_boxes * cfg.n_classes, kernel_size=(3, 3, 3),
                           padding=((1, 1), (1, 1), (1, 1)),
-                          dtype=cfg.compute_dtype, name=f"cls_{layer}")(x)
+                          dtype=cfg.compute_dtype,
+                          kernel_init=kernel_init_for(scheme),
+                          bias_init=bias_init_for(scheme, fan_in),
+                          name=f"cls_{layer}")(x)
             locs.append(loc.reshape(batch, -1, 6))
             scores.append(cls.reshape(batch, -1, cfg.n_classes))
         return jnp.concatenate(locs, axis=1), jnp.concatenate(scores, axis=1)
@@ -179,12 +195,14 @@ class SSD3D(nn.Module):
                 dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
                 remat=cfg.remat,
+                init_scheme=cfg.init_scheme,
             )
         elif "convnet" in cfg.base_network_config:
             self.backbone = ConvNetBackbone(
                 feature_layers=cfg.feature_layers,
                 config_name=cfg.base_network_config,
                 dtype=cfg.compute_dtype,
+                init_scheme=cfg.init_scheme,
             )
         else:
             raise ValueError(

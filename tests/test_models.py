@@ -352,3 +352,57 @@ def test_focal_wired_through_config():
     conf_plain, _ = multibox_loss_from_config(cfg_plain, *args)
     conf_focal, _ = multibox_loss_from_config(cfg_focal, *args)
     assert float(conf_focal) != float(conf_plain)
+
+
+def test_init_scheme_torch_matches_torch_defaults():
+    """init_scheme="torch" reproduces torch Conv3d default init statistics.
+
+    torch Conv3d: weight ~ kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in)),
+    bias ~ U(+-1/sqrt(fan_in)), fan_in = C_in/groups * 27. Checked against a
+    real torch layer's empirical bounds/std, not constants, so the test
+    survives torch changing its defaults.
+    """
+    import jax
+    import numpy as np
+    import torch
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+
+    cfg = SSD3DConfig.create(n_classes=2, input_channels=1,
+                             input_size=(32, 32, 32), init_scheme="torch")
+    variables = SSD3D(cfg).init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 32, 1), np.float32),
+        train=False)
+    params = variables["params"]
+
+    # stem conv kernel (3,3,3,1,32): fan_in = 27
+    stem = np.asarray(params["backbone"]["layer_0"]["conv"]["kernel"])
+    t = torch.nn.Conv3d(1, 32, 3, bias=True)
+    t_w = t.weight.detach().numpy()
+    bound = 1 / np.sqrt(27)
+    assert abs(stem).max() <= bound + 1e-7
+    assert abs(t_w).max() <= bound + 1e-7  # same analytic band as torch
+    assert np.isclose(stem.std(), t_w.std(), rtol=0.15)
+    assert abs(stem.mean()) < 0.02
+
+    # head bias band: fan_in = C_in * 27 (reference head convs carry bias)
+    head = params["heads"]["loc_3"]
+    cin = params["heads"]["loc_3"]["kernel"].shape[3]
+    b = np.asarray(head["bias"])
+    bb = 1 / np.sqrt(cin * 27)
+    assert abs(b).max() <= bb + 1e-7
+    assert b.std() > 0.2 * bb  # actually spread, not zeros
+
+    # flax scheme still gives zero biases and tighter lecun_normal weights
+    cfg_f = SSD3DConfig.create(n_classes=2, input_channels=1,
+                               input_size=(32, 32, 32), init_scheme="flax")
+    var_f = SSD3D(cfg_f).init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 32, 1), np.float32),
+        train=False)
+    assert float(np.abs(var_f["params"]["heads"]["loc_3"]["bias"]).max()) == 0.0
+
+    # config JSON round-trip carries the scheme; old dicts default to torch
+    d = cfg.to_json_dict()
+    assert SSD3DConfig.from_json_dict(d).init_scheme == "torch"
+    d.pop("init_scheme")
+    assert SSD3DConfig.from_json_dict(d).init_scheme == "torch"

