@@ -95,9 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_hist_every_n_steps", type=int, default=25,
                    help="TB gradient-histogram cadence (0 = off)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--init_scheme", type=str, default="torch", choices=["torch", "flax"],
+    p.add_argument("--init_scheme", type=str, default="torch",
+                   choices=["torch", "flax", "kaiming_relu"],
                    help="weight init: torch Conv3d defaults (reference parity, "
-                        "measured better) or flax lecun_normal")
+                        "measured better), flax lecun_normal, or the legacy "
+                        "relu-gain kaiming override (rounds-1/2 default)")
     p.add_argument("--max_objects", type=int, default=16)
     p.add_argument("--hard_negative_mining", type=int, default=0)
     p.add_argument("--focal_gamma", type=float, default=0.0,

@@ -42,9 +42,9 @@ def torch_kaiming_uniform(key, shape, dtype=jnp.float32):
 
     Measured to matter: the trained-parity study (QUALITY.md) shows the
     reference recipe lands at best-F1 0.507 from this init vs 0.394 from
-    flax ``lecun_normal`` — torch init IS part of reference behavior
-    (reference LSSD3D.init() is a no-op over bare convs, so torch defaults
-    apply; ssd3d.py:320-331).
+    the legacy relu-gain kaiming + zero-bias scheme — torch init IS part of
+    reference behavior (reference LSSD3D.init() is a no-op over bare convs,
+    so torch constructor defaults apply; ssd3d.py:320-331).
     """
     import numpy as _np
 

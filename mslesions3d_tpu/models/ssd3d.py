@@ -73,9 +73,10 @@ class SSD3DConfig:
     dtype: str = "float32"  # "bfloat16" for TPU hot path
     # "torch" reproduces torch Conv3d/Linear default init (kaiming-uniform
     # weights + uniform-band biases) — part of reference behavior (its init()
-    # is a no-op, ssd3d.py:320-331) and measured better than flax
-    # lecun_normal on the trained-parity study (QUALITY.md: best-F1 0.507 vs
-    # 0.394 at the same recipe). "flax" = lecun_normal + zero biases.
+    # is a no-op, ssd3d.py:320-331) and measured ~0.11 best-F1 better on the
+    # trained-parity study (QUALITY.md). "flax" = lecun_normal + zero biases.
+    # "kaiming_relu" = the legacy rounds-1/2 training default (relu-gain
+    # kaiming override in train/state.py), kept for run reproducibility.
     init_scheme: str = "torch"
     comments: str = ""
 

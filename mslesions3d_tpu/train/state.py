@@ -97,14 +97,19 @@ def make_optimizer(lr: float, scheduler: str = "CosineAnnealingLR",
 
 
 def kaiming_init_overrides(params, rng):
-    """Re-init conv kernels with Kaiming-uniform + zero bias.
+    """Legacy init override: relu-gain Kaiming-uniform kernels + zero biases.
 
-    Parity: model.init() (ssd3d.py:462-465, 80-84, 137-141) — the reference
-    re-initializes convs with kaiming_uniform after construction. flax's
-    default (lecun_normal) differs, so this override keeps the init
-    distribution family comparable. fan_in-based bound = sqrt(6 / fan_in)
-    (torch kaiming_uniform with a=sqrt(5) uses gain-adjusted bounds; we use
-    the relu-gain variant to match nn.init.kaiming_uniform_ defaults).
+    Historical note: this was written on the assumption that the reference's
+    ``init()`` (ssd3d.py:462-465, 80-84, 137-141) re-initializes convs with
+    kaiming_uniform. Closer reading shows that init() iterates
+    ``children()`` — which are Sequential/ModuleList containers, never bare
+    Conv3d — so it is a NO-OP and torch *constructor defaults* are the real
+    reference init (kaiming_uniform(a=sqrt(5)) kernels + uniform-band
+    biases; now implemented natively as ``SSD3DConfig.init_scheme="torch"``,
+    models/layers.py). The trained-parity study (QUALITY.md) measured this
+    override ~0.11 best-F1 BELOW torch defaults at the reference recipe.
+    Kept as ``init_scheme="kaiming_relu"`` so rounds-1/2 runs stay
+    reproducible; bound here = sqrt(6 / fan_in) (relu gain), biases zeroed.
     """
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -127,13 +132,23 @@ def kaiming_init_overrides(params, rng):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def create_train_state(model, config, rng, kaiming: bool = True) -> TrainState:
-    """Initialize model variables + optimizer for an SSD3DConfig."""
+def create_train_state(model, config, rng, kaiming: bool | None = None) -> TrainState:
+    """Initialize model variables + optimizer for an SSD3DConfig.
+
+    Init follows ``config.init_scheme``: "torch" (default) and "flax" are
+    produced directly by ``model.init`` (models/layers.py initializers);
+    "kaiming_relu" applies the legacy post-init override on top (the
+    rounds-1/2 training default — see kaiming_init_overrides). ``kaiming``
+    forces the override on/off explicitly (False is used by checkpoint
+    loaders where init values are irrelevant).
+    """
     d, h, w = config.input_size
     dummy = jnp.zeros((1, d, h, w, config.input_channels), jnp.float32)
     init_rng, kaiming_rng, dropout_rng = jax.random.split(rng, 3)
     variables = model.init({"params": init_rng, "dropout": dropout_rng}, dummy, train=False)
     params = variables["params"]
+    if kaiming is None:
+        kaiming = getattr(config, "init_scheme", "torch") == "kaiming_relu"
     if kaiming:
         params = kaiming_init_overrides(params, kaiming_rng)
     batch_stats = variables.get("batch_stats", FrozenDict())

@@ -406,3 +406,23 @@ def test_init_scheme_torch_matches_torch_defaults():
     assert SSD3DConfig.from_json_dict(d).init_scheme == "torch"
     d.pop("init_scheme")
     assert SSD3DConfig.from_json_dict(d).init_scheme == "torch"
+
+
+def test_create_train_state_honors_init_scheme():
+    """The training entry point must deliver the configured init (round-3
+    regression: the legacy kaiming override used to clobber model.init)."""
+    import jax
+    import numpy as np
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig
+    from mslesions3d_tpu.train.state import create_train_state
+
+    def head_bias(scheme):
+        cfg = SSD3DConfig.create(n_classes=2, input_channels=1,
+                                 input_size=(32, 32, 32), init_scheme=scheme)
+        state = create_train_state(SSD3D(cfg), cfg, jax.random.PRNGKey(0))
+        return np.asarray(state.params["heads"]["loc_3"]["bias"])
+
+    assert np.abs(head_bias("torch")).max() > 0  # uniform band survives
+    assert np.abs(head_bias("kaiming_relu")).max() == 0  # legacy zeros
+    assert np.abs(head_bias("flax")).max() == 0
