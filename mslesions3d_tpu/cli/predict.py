@@ -66,6 +66,9 @@ def build_parser():
     p.add_argument("--per_patch_k", type=int, default=None,
                    help="sliding-window: detections kept per patch before "
                         "stitching (default max(top_k//2, 16))")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host batches assembled ahead on a background thread "
+                        "while the device runs (0 = off)")
     p.add_argument("-dt", "--dataset_type", type=str, default="synthetic",
                    choices=["synthetic", "lesions"])
     p.add_argument("--centers", type=str, nargs="*",
@@ -192,7 +195,7 @@ def save_subject_predictions(output_dir, subject, image_shape, boxes, labels, sc
 def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.5,
                     top_k=100, output_dir=None, save_images=True,
                     sliding_window=False, overlap=0.25, max_overlap=None,
-                    volume_batch=1, per_patch_k=None):
+                    volume_batch=1, per_patch_k=None, prefetch_depth=2):
     """Run detection over a subset; returns per-subject ragged results.
 
     With ``sliding_window`` volumes are tiled into model-sized patches and
@@ -202,8 +205,11 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
     patch grids run through one detector in shared device batches — the
     bench-measured 133 -> 317 volumes/sec mode, now reachable from the CLI
     (round-2 verdict, weak #5). ``max_overlap`` overrides the checkpoint's
-    NMS suppression IoU.
+    NMS suppression IoU. ``prefetch_depth`` overlaps host batch assembly
+    (NIfTI load + box derivation) with device inference on a background
+    thread (utils/prefetch.py); 0 disables.
     """
+    from ..utils.prefetch import prefetch
     model = SSD3D(config)
     priors = model_priors(config)
     step = make_predict_step(config, model, priors, min_score=min_score,
@@ -258,7 +264,8 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
             for i, (subj, _img, gb, gl) in enumerate(entries):
                 emit(subj, db[i], dl[i], ds[i], gb, gl)
 
-        for batch in dataset.predict_batches(predict_subset):
+        for batch in prefetch(dataset.predict_batches(predict_subset),
+                              prefetch_depth):
             images = np.asarray(array_batch(batch)["image"])
             for i, subj in enumerate(batch["subjects"]):
                 if subj is None or not batch["batch_mask"][i]:
@@ -274,7 +281,7 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
             flush(shape, entries)
         return results, gt
 
-    for batch in dataset.predict_batches(predict_subset):
+    for batch in prefetch(dataset.predict_batches(predict_subset), prefetch_depth):
         if sliding_window:
             images = array_batch(batch)["image"]
             dets = [sw_detect(images[i][None], 1) for i in range(images.shape[0])]
@@ -352,7 +359,7 @@ def main(argv=None):
             output_dir, bool(args.save_images),
             sliding_window=bool(args.sliding_window), overlap=args.overlap,
             max_overlap=args.max_overlap, volume_batch=args.volume_batch,
-            per_patch_k=args.per_patch_k,
+            per_patch_k=args.per_patch_k, prefetch_depth=args.prefetch,
         )
         for min_iou in (0.5, 0.1):
             m = compute_subjects_mAP(results, gt, config.n_classes, min_iou, output_dir)

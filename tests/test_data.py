@@ -453,3 +453,26 @@ def test_augment_composed_flip_is_exact():
     )
     expected = np.flip(img, axis=(0, 1, 2))
     np.testing.assert_array_equal(np.asarray(img_aug), expected)
+
+
+def test_prefetch_order_and_errors():
+    """prefetch preserves order, bounds memory, and propagates exceptions."""
+    import pytest
+
+    from mslesions3d_tpu.utils.prefetch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+    assert list(prefetch(iter([]), depth=2)) == []
+    # depth<=0 is a passthrough
+    assert list(prefetch(range(5), depth=0)) == list(range(5))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
