@@ -42,9 +42,14 @@ def make_setup():
 
     from mslesions3d_tpu.models import SSD3DConfig
 
+    # tower truncated at layer 3 (aspect_ratios keys) — this test validates
+    # multihost mechanics (init, mesh, batch slicing, global collectives),
+    # and each worker pays a full fresh compile (see main(): no cache), so
+    # the model is kept as small as the backbone contract allows
     cfg = SSD3DConfig.create(
         n_classes=2, input_channels=1, input_size=(16, 16, 16),
         width_mult=0.25, threshold=[0.1, 0.2], lr=1e-3, batch_size=8,
+        aspect_ratios={2: [1.0], 3: [1.0]},
     )
     rng = np.random.default_rng(42)
     batch = {
@@ -106,19 +111,35 @@ def main():
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
 
-    try:  # share the suite's persistent compile cache (MSL_JAX_CACHE is
-        # exported by tests/conftest.py, inherited here). Must come AFTER
-        # jax.distributed.initialize — enabling it touches the backend.
-        from mslesions3d_tpu.utils.cache import enable_compilation_cache
+    # The persistent compile cache is deliberately NOT enabled here, and the
+    # suite's inherited MSL_JAX_CACHE is dropped. SPMD peers hang in Gloo
+    # context init (GetKeyValue DEADLINE_EXCEEDED) whenever their
+    # executables' collective schedules differ, and the cache creates
+    # exactly that asymmetry: a worker replaying a cached executable against
+    # a peer that compiled fresh (or replays a different entry) runs
+    # communicator setups its peer never starts — observed as one worker
+    # opening 2-party Gloo contexts while the other waits on the 8-party
+    # one. Same hazard class as the driver dryrun's stale-AOT failure
+    # (round 1), same cure: multi-process runs compile fresh, symmetrically.
+    os.environ.pop("MSL_JAX_CACHE", None)
+    import jax as _jax
 
-        enable_compilation_cache()
-    except Exception:
-        pass
+    _jax.config.update("jax_compilation_cache_dir", None)
 
     mesh = dcn_friendly_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
     sl = process_batch_slice(8)
     assert sl == slice(pid * 4, pid * 4 + 4), sl
+
+    # Establish the Gloo communicator NOW with a trivial collective: its
+    # compile is seconds, so both processes reach it nearly together. The
+    # REAL train-step compile below takes tens of seconds per process on a
+    # 1-core host, and the OS can schedule them back-to-back — without this
+    # warm-up, the first collective execution then initializes the Gloo
+    # context with >30 s of skew and times out (GetKeyValue DEADLINE_EXCEEDED).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("msl_multihost_smoke_warmup")
 
     cfg, batch = make_setup()
     loss = run_step(cfg, batch, mesh, multihost=True)

@@ -419,7 +419,8 @@ def test_create_train_state_honors_init_scheme():
 
     def head_bias(scheme):
         cfg = SSD3DConfig.create(n_classes=2, input_channels=1,
-                                 input_size=(32, 32, 32), init_scheme=scheme)
+                                 input_size=(16, 16, 16), width_mult=0.25,
+                                 init_scheme=scheme)
         state = create_train_state(SSD3D(cfg), cfg, jax.random.PRNGKey(0))
         return np.asarray(state.params["heads"]["loc_3"]["bias"])
 

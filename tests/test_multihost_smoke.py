@@ -24,8 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
+def _launch_workers():
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -38,6 +37,22 @@ def test_two_process_dp_step_matches_single_process():
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    procs, outs = _launch_workers()
+    if any(p.returncode != 0 for p in procs) and any(
+        "DEADLINE_EXCEEDED" in o for o in outs
+    ):
+        # Gloo's communicator rendezvous has a fixed 30 s key-value timeout;
+        # on a 1-core host the OS can schedule the two workers' jax imports /
+        # compiles back-to-back and blow past it. That is host-scheduling
+        # flakiness, not a framework defect (the worker already warms the
+        # communicator with an early barrier) — retry once on this exact
+        # signature only.
+        procs, outs = _launch_workers()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
 
