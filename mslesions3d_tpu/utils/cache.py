@@ -22,6 +22,14 @@ def _backend_cache_key() -> str:
     import jaxlib
 
     try:
+        # the submodule import must be explicit: `jax.extend` is not loaded
+        # by `import jax`, and the resulting AttributeError silently sent
+        # processes to the version-less fallback key below — so the SAME
+        # machine flip-flopped between two cache directories depending on
+        # what else each process had imported, and "warm" runs recompiled
+        # everything (round-3 bench regression)
+        import jax.extend.backend
+
         backend = jax.extend.backend.get_backend()
         runtime = f"{backend.platform}-{getattr(backend, 'platform_version', '')}"
     except Exception:
