@@ -47,7 +47,9 @@ def main(argv=None):
     from ..train.checkpoints import load_checkpoint
 
     config, payload, _ = load_checkpoint(args.model_path)
-    variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    # EMA-trained checkpoints serve the average (same rule as cli.predict)
+    params = payload.get("ema_params") or payload["params"]
+    variables = {"params": params, "batch_stats": payload["batch_stats"]}
 
     exports, manifest = export_detector(
         config, variables, args.batch_sizes,

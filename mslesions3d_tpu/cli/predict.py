@@ -66,6 +66,9 @@ def build_parser():
     p.add_argument("--per_patch_k", type=int, default=None,
                    help="sliding-window: detections kept per patch before "
                         "stitching (default max(top_k//2, 16))")
+    p.add_argument("--use_ema", type=int, default=1,
+                   help="score the EMA weights when the checkpoint carries "
+                        "them (training with --ema_decay > 0); 0 = raw params")
     p.add_argument("--prefetch", type=int, default=2,
                    help="host batches assembled ahead on a background thread "
                         "while the device runs (0 = off)")
@@ -351,6 +354,11 @@ def main(argv=None):
     model = SSD3D(config)
     state = create_train_state(model, config, jax.random.PRNGKey(0), kaiming=False)
     _, state, _ = load_checkpoint(args.model_path, state_template=state)
+    if bool(args.use_ema):
+        # EMA-trained checkpoints are scored on the average (train/state.py)
+        from ..train.state import eval_view
+
+        state = eval_view(state)
 
     for subset in subsets:
         output_dir = out_root / f"{subset}_set" / f"min_score_{args.min_score}"

@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="> 0 switches the confidence loss to softmax focal "
                         "(the reference's commented-out FocalLoss, ssd3d.py:760)")
     p.add_argument("--focal_alpha", type=float, default=0.25)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0 keeps an EMA of the weights (e.g. 0.999); "
+                        "validation, checkpoint selection and predict score "
+                        "the average")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
     return p
@@ -195,6 +199,7 @@ def main(argv=None):
         focal_alpha=args.focal_alpha,
         dtype=args.dtype,
         init_scheme=args.init_scheme,
+        ema_decay=args.ema_decay,
     )
 
     augment = AugmentConfig.from_names(args.augmentations)

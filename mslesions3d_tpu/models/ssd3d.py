@@ -78,6 +78,13 @@ class SSD3DConfig:
     # "kaiming_relu" = the legacy rounds-1/2 training default (relu-gain
     # kaiming override in train/state.py), kept for run reproducibility.
     init_scheme: str = "torch"
+    # exponential moving average of the parameters (0 = off). When > 0 the
+    # train step carries a second params tree updated as
+    # ema = d*ema + (1-d)*params each step; validation, checkpoint selection
+    # and predict then score the EMA weights (framework extension — the
+    # reference has no EMA; standard detection practice for noisy small-batch
+    # training). Seeded from the init params, so no bias correction needed.
+    ema_decay: float = 0.0
     comments: str = ""
 
     @staticmethod

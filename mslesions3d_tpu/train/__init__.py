@@ -1,4 +1,4 @@
-from .state import TrainState, create_train_state, cosine_annealing_schedule
+from .state import TrainState, create_train_state, cosine_annealing_schedule, eval_view
 from .steps import (
     make_train_step,
     make_eval_step,

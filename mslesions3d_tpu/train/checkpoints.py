@@ -41,6 +41,8 @@ def save_checkpoint(directory, state, config: SSD3DConfig, metrics: dict | None 
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = _to_host(state.ema_params)
     (directory / "state.msgpack").write_bytes(serialization.to_bytes(payload))
     meta = {
         "step": int(state.step),
@@ -65,18 +67,28 @@ def load_checkpoint(directory, state_template=None):
     raw = (directory / "state.msgpack").read_bytes()
 
     if state_template is not None:
-        target = {
-            "step": np.asarray(state_template.step),
-            "params": state_template.params,
-            "batch_stats": state_template.batch_stats,
-            "opt_state": state_template.opt_state,
-        }
-        payload = serialization.from_bytes(target, raw)
+        stored = serialization.msgpack_restore(raw)
+        restore = lambda tmpl, key: serialization.from_state_dict(
+            tmpl, stored[key], name=key
+        )
+        params = restore(state_template.params, "params")
+        if "ema_params" in stored:
+            ema = serialization.from_state_dict(
+                state_template.ema_params
+                if state_template.ema_params is not None else state_template.params,
+                stored["ema_params"], name="ema_params",
+            )
+        else:
+            # pre-EMA checkpoint resumed with ema_decay on: re-seed from the
+            # restored params (the create_train_state seeding rule)
+            ema = (jax.tree_util.tree_map(jax.numpy.copy, params)
+                   if state_template.ema_params is not None else None)
         state = state_template.replace(
-            step=jax.numpy.asarray(payload["step"]),
-            params=payload["params"],
-            batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
+            step=jax.numpy.asarray(stored["step"]),
+            params=params,
+            batch_stats=restore(state_template.batch_stats, "batch_stats"),
+            opt_state=restore(state_template.opt_state, "opt_state"),
+            ema_params=ema,
         )
         return config, state, meta
     payload = serialization.msgpack_restore(raw)

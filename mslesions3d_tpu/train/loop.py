@@ -46,7 +46,7 @@ from ..ops.nms import detections_to_lists
 from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
 from .checkpoints import CheckpointManager, load_checkpoint
 from .logging import MetricsLogger
-from .state import create_train_state, make_optimizer
+from .state import create_train_state, eval_view, make_optimizer
 from .steps import (
     make_eval_step,
     make_gathered_eval_step,
@@ -430,7 +430,10 @@ class Trainer:
                 )
 
             # ---- validation ----
+            # scored on the EMA params when config.ema_decay > 0 (eval_view),
+            # so checkpoint selection/early stopping track the average
             compute_val_metrics = epoch % cfg.compute_metric_every_n_epochs == 0
+            val_state = eval_view(state)
             val_losses = []
             if val_data is not None:
                 B = datamodule.batch_size
@@ -438,7 +441,7 @@ class Trainer:
                     ids = np.arange(i, i + B)
                     valid = ids < n_val
                     ids = np.minimum(ids, n_val - 1).astype(np.int32)
-                    ev = eval_step_g(state, val_data, jnp.asarray(ids),
+                    ev = eval_step_g(val_state, val_data, jnp.asarray(ids),
                                      jnp.asarray(valid))
                     val_losses.append(
                         {k: ev[k] for k in ("total_loss", "conf_loss",
@@ -456,7 +459,7 @@ class Trainer:
                     batch = array_batch(batch)
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
-                    ev = eval_step(state, batch)
+                    ev = eval_step(val_state, batch)
                     val_losses.append(
                         {k: ev[k] for k in ("total_loss", "conf_loss",
                                              "loc_loss", "n_valid")}

@@ -28,6 +28,9 @@ class TrainState(struct.PyTreeNode):
     # loop never has to sync per step just to watch for divergence; the host
     # checks it on the (much coarser) logging cadence
     nonfinite_streak: jnp.ndarray
+    # exponential moving average of params (None when config.ema_decay == 0);
+    # updated inside the train step, scored by validation/predict
+    ema_params: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats=None):
@@ -39,6 +42,18 @@ class TrainState(struct.PyTreeNode):
             opt_state=new_opt_state,
             batch_stats=self.batch_stats if new_batch_stats is None else new_batch_stats,
         )
+
+
+def eval_view(state: TrainState) -> TrainState:
+    """The state validation/predict should score: EMA params when carried.
+
+    Identity when EMA is off. The training forward keeps using the raw
+    params — only scoring (val loss, detection metrics, checkpoint
+    selection, predict) sees the average.
+    """
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
 
 
 def cosine_annealing_schedule(base_lr: float, t_max: int = 40, eta_min: float = 0.0):
@@ -155,11 +170,15 @@ def create_train_state(model, config, rng, kaiming: bool | None = None) -> Train
 
     tx, _ = make_optimizer(config.lr, config.scheduler, t_max=config.t_max)
     opt_state = tx.init(params)
+    ema_decay = float(getattr(config, "ema_decay", 0.0))
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
         nonfinite_streak=jnp.asarray(0, jnp.int32),
+        # seed EMA = init params (no zero-init bias; the average is exact
+        # from step 1 without torch-style warmup corrections)
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_decay > 0 else None,
         tx=tx,
     )

@@ -82,6 +82,16 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
         updated = state.apply_gradients(grads, new_batch_stats=new_stats)
+        ema_decay = float(getattr(config, "ema_decay", 0.0))
+        if ema_decay > 0.0 and state.ema_params is not None:
+            # EMA rides inside `updated`, so the non-finite merge below keeps
+            # the old average whenever the parameter update itself is skipped
+            updated = updated.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                    state.ema_params, updated.params,
+                )
+            )
         if skip_nonfinite:
             finite = jnp.isfinite(total)
             new_state = jax.tree_util.tree_map(

@@ -447,3 +447,69 @@ def test_epoch_scan_matches_per_step(tmp_path):
     leaves_b = jax.tree_util.tree_leaves(state_b.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-4)
+
+
+def test_ema_tracks_params_and_roundtrips(tmp_path):
+    """EMA = exact recursion over the params trajectory; carried through
+    checkpoints; eval_view/predict score the average (framework extension —
+    the reference has no EMA)."""
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-2, threshold=[0.1, 0.2], batch_size=2,
+        ema_decay=0.9,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    assert state.ema_params is not None
+
+    # manual recursion on host vs the in-step update
+    expected = jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
+    step = make_train_step(cfg, model, priors, donate=False)
+    batch = _fake_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.fold_in(rng, i))
+        p = jax.device_get(state.params)
+        expected = jax.tree_util.tree_map(
+            lambda e, q: 0.9 * e + 0.1 * np.asarray(q), expected, p
+        )
+    got = jax.device_get(state.ema_params)
+    for a, b in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-5, atol=1e-6)
+    # the average lags the raw params (they differ after an update)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                        jax.tree_util.tree_leaves(got))
+    ]
+    assert max(diffs) > 0
+
+    # eval_view swaps the average in for scoring
+    from mslesions3d_tpu.train import eval_view
+
+    view = eval_view(state)
+    assert view.params is state.ema_params
+
+    # checkpoint roundtrip preserves the EMA tree
+    save_checkpoint(tmp_path / "ck", state, cfg, {"avg_val_loss": 1.0})
+    template = create_train_state(model, cfg, jax.random.PRNGKey(3))
+    _, restored, _ = load_checkpoint(tmp_path / "ck", state_template=template)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a pre-EMA checkpoint restored into an EMA run re-seeds EMA from params
+    import dataclasses as _dc
+
+    cfg_off = _dc.replace(cfg, ema_decay=0.0)
+    state_off = create_train_state(model, cfg_off, jax.random.PRNGKey(0))
+    assert state_off.ema_params is None
+    save_checkpoint(tmp_path / "ck_old", state_off, cfg_off, {"avg_val_loss": 1.0})
+    _, reseeded, _ = load_checkpoint(tmp_path / "ck_old", state_template=template)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(reseeded.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(reseeded.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and eval_view on an EMA-off state is the identity
+    assert eval_view(state_off) is state_off
