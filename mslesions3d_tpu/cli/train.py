@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="> 1 shards volume depth over that many devices "
+                        "(full-resolution training for volumes too large for "
+                        "one chip; combine with --data_parallel to use the "
+                        "remaining devices as a data axis)")
     p.add_argument("--device_data_cache", type=int, default=1,
                    help="keep the materialized dataset in HBM and gather "
                         "batches on device (0 = stream batches from host)")
@@ -214,6 +219,7 @@ def main(argv=None):
         seed=args.seed,
         use_wandb=bool(args.use_wandb),
         data_parallel=bool(args.data_parallel),
+        spatial_shards=args.spatial_shards,
         device_data_cache=bool(args.device_data_cache),
         grad_hist_every_n_steps=args.grad_hist_every_n_steps,
         hard_negative_mining=bool(args.hard_negative_mining),

@@ -24,6 +24,8 @@ def prefetch_batches(iterator, prefetch: int = 2, sharding=None):
     Array leaves are transferred to the device (with ``sharding`` if given)
     as soon as a batch is produced; non-array entries pass through. Yields
     batches in order. Exceptions from the producer re-raise at the consumer.
+    ``sharding`` may be a callable ``(key, value) -> sharding`` for per-leaf
+    layouts (e.g. depth-sharded volumes + batch-sharded masks on a 2-D mesh).
     """
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
 
@@ -31,8 +33,8 @@ def prefetch_batches(iterator, prefetch: int = 2, sharding=None):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, sharding) if sharding is not None \
-                    else jax.device_put(v)
+                s = sharding(k, v) if callable(sharding) else sharding
+                out[k] = jax.device_put(v, s) if s is not None else jax.device_put(v)
             else:
                 out[k] = v
         return out

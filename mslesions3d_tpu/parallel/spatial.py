@@ -35,6 +35,85 @@ def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(data, spatial))
 
 
+def batch_sharding_fn(mesh: Mesh):
+    """Per-leaf batch shardings for a ("data", "spatial") mesh.
+
+    Volumes (B, D, H, W, C) shard batch on "data" AND depth on "spatial";
+    per-sample leaves (boxes/labels/masks) shard on "data" only. Used by the
+    Trainer's --spatial_shards path (train/loop.py) so full-resolution
+    volumes that don't fit one chip train across several — the volume analog
+    of context parallelism (SURVEY.md §5).
+    """
+    img = NamedSharding(mesh, P("data", "spatial"))
+    rows = NamedSharding(mesh, P("data"))
+
+    def fn(key, value):
+        return img if getattr(value, "ndim", 0) >= 5 else rows
+
+    return fn
+
+
+def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
+    """device_put a batch dict with depth-sharded volumes (see batch_sharding_fn)."""
+    fn = batch_sharding_fn(mesh)
+    return {
+        k: jax.device_put(v, fn(k, v)) if isinstance(v, np.ndarray) else v
+        for k, v in batch.items()
+    }
+
+
+def spatial_activation_interceptor(mesh: Mesh):
+    """flax method interceptor: drop the "spatial" axis from deep activations.
+
+    Two reasons, one mechanism:
+
+    * **Correctness.** XLA's SPMD partitioner MISCOMPILES the backward pass
+      of a stride-2 conv chain once an activation's depth no longer divides
+      the spatial axis (padded shards): gradients come back scaled by
+      integer multiples of the shard count while the forward stays exact.
+      Reproduced on the CPU backend with a 6-layer plain-conv stack
+      (depth 16 -> 2 over 4 shards: grads x2; the SSD backbone at 16^3 over
+      4 shards: grads x4/x2 by depth) — no BatchNorm, no grouped conv, no
+      explicit padding needed. Constraining the first non-divisible
+      activation to P("data") keeps every conv the partitioner sees cleanly
+      partitioned, which is the validated-correct regime.
+    * **Performance.** Deep SSD feature maps are a few thousand elements;
+      halo exchanges and padded partitions there cost more than they save.
+      Standard spatial-partitioning practice shards only the high-res
+      stages, which is exactly what this constraint expresses.
+
+    Install around ``model.apply`` via ``nn.intercept_methods``; activations
+    whose depth divides the axis are left alone, everything deeper is
+    constrained to batch-only sharding and XLA propagates that downstream.
+    """
+    n_spatial = mesh.shape["spatial"]
+    # FULLY replicated, not P("data"): a batch-sharded cut still leaves the
+    # depthwise conv feeding it with a 1/n_spatial-scaled weight grad
+    # (measured on the toy chain); a P() cut is exact. Deep SSD maps are a
+    # few KB, so replicating their compute costs nothing.
+    replicated = NamedSharding(mesh, P())
+
+    def fix(y):
+        # Cut ONE stride-2 layer EARLY: once depth stops dividing
+        # 2*n_spatial, the NEXT downsampling conv would emit a padded
+        # partition — and a constraint placed after the fact cannot help
+        # (its backward reshards the cotangent back to the padded layout
+        # the partitioner chose). Cutting while still divisible means a
+        # padded spatial partition never exists anywhere in the graph.
+        if getattr(y, "ndim", 0) == 5 and y.shape[1] % (2 * n_spatial) != 0:
+            return jax.lax.with_sharding_constraint(y, replicated)
+        return y
+
+    def interceptor(next_fun, args, kwargs, context):
+        # constrain INPUTS too: raw lax.conv outputs (the depthwise half of
+        # DepthwiseSeparableBlock) are not module outputs, but they flow
+        # into the next module (dw_bn) and get anchored there
+        args = tuple(fix(a) for a in args)
+        return fix(next_fun(*args, **kwargs))
+
+    return interceptor
+
+
 def make_spatially_sharded_forward(model, mesh: Mesh):
     """jitted forward with volume-depth sharding (params replicated).
 

@@ -32,6 +32,7 @@ streak is carried on device in TrainState and checked on the same cadence.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 
 import jax
@@ -75,6 +76,12 @@ class TrainerConfig:
     seed: int = 970205
     use_wandb: bool = False
     data_parallel: bool = False  # shard batches over all visible devices
+    # > 1 shards volume DEPTH over that many devices on a ("data", "spatial")
+    # mesh (remaining devices form the data axis) — the full-resolution
+    # path for volumes too large for one chip's HBM: per-device activations
+    # and FLOPs both scale ~1/N via XLA's conv halo exchanges
+    # (parallel/spatial.py; measured 0.18x memory/device at SP8, QUALITY.md)
+    spatial_shards: int = 1
     hard_negative_mining: bool = False
     # keep the materialized dataset in HBM and gather batches on device by
     # index (kills the per-step host->device volume transfer — on a tunneled
@@ -165,11 +172,45 @@ class Trainer:
             if cfg.verbose:
                 print(f"[resume] from {resume} at step {int(state.step)}")
 
-        mesh = make_mesh() if cfg.data_parallel else None
+        spatial = max(1, int(cfg.spatial_shards))
+        if spatial > 1:
+            from ..parallel.spatial import (
+                batch_sharding_fn, make_mesh_2d, shard_batch_spatial,
+            )
 
+            ndev = len(jax.devices())
+            if ndev % spatial:
+                raise ValueError(
+                    f"spatial_shards={spatial} does not divide the "
+                    f"{ndev} visible devices"
+                )
+            if config.input_size[0] % spatial:
+                raise ValueError(
+                    f"volume depth {config.input_size[0]} is not divisible "
+                    f"by spatial_shards={spatial}"
+                )
+            n_data = ndev // spatial if cfg.data_parallel else 1
+            if n_data > 1 and config.batch_size % n_data:
+                # cap the data axis so it divides the batch (the remaining
+                # devices idle rather than erroring on the batch device_put)
+                n_data = math.gcd(n_data, config.batch_size)
+                if cfg.verbose:
+                    print(f"[mesh] data axis capped to {n_data} "
+                          f"(batch {config.batch_size} not divisible by "
+                          f"{ndev // spatial})")
+            mesh = make_mesh_2d(n_data, spatial)
+        else:
+            mesh = make_mesh() if cfg.data_parallel else None
+        spatial_mesh = spatial > 1
+
+        # depth-sharded batches REQUIRE the activation constraint mesh: the
+        # deep backbone's backward pass miscompiles without it
+        # (parallel/spatial.py::spatial_activation_interceptor)
+        cmesh = mesh if spatial_mesh else None
         train_step = make_train_step(
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
+            constraint_mesh=cmesh,
         )
         # instrumented variant: decode+NMS on the training forward (train
         # metric epochs) + raw grads (TB histograms); compiled separately so
@@ -178,10 +219,12 @@ class Trainer:
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
             with_detections=True, return_grads=cfg.grad_hist_every_n_steps > 0,
+            constraint_mesh=cmesh,
         )
         eval_step = make_eval_step(
             config, model, priors, with_detections=True,
             hard_negative_mining=cfg.hard_negative_mining,
+            constraint_mesh=cmesh,
         )
 
         # ---- data path ----
@@ -218,7 +261,8 @@ class Trainer:
                           f"{n_val} val volumes, {nbytes / 2**20:.0f} MiB HBM")
             else:
                 host_val = None
-        elif cfg.device_data_cache and mesh is not None and can_materialize:
+        elif (cfg.device_data_cache and mesh is not None and can_materialize
+              and not spatial_mesh):
             # data-parallel: shard the materialized dataset over the mesh —
             # every chip keeps only its subject shard in HBM, samples
             # shard-locally, and never streams volumes from the host; the
@@ -319,10 +363,17 @@ class Trainer:
                 # streaming path: host batch assembly + host->device transfer
                 # overlap the previous step's execution (the reference's
                 # DataLoader worker analog)
+                if mesh is None:
+                    stream_sharding = None
+                elif spatial_mesh:
+                    # volumes depth-sharded on "spatial", rows on "data"
+                    stream_sharding = batch_sharding_fn(mesh)
+                else:
+                    stream_sharding = batch_sharding(mesh)
                 batches = prefetch_batches(
                     (array_batch(b) for b in datamodule.train_batches(epoch=epoch)),
                     prefetch=2,
-                    sharding=batch_sharding(mesh) if mesh is not None else None,
+                    sharding=stream_sharding,
                 )
             # per-step keys derive from one per-epoch key: fold_in(epoch_rng,
             # global step). The scanned-epoch program derives the SAME keys on
@@ -458,7 +509,8 @@ class Trainer:
                 for batch in datamodule.val_batches():
                     batch = array_batch(batch)
                     if mesh is not None:
-                        batch = shard_batch(batch, mesh)
+                        batch = (shard_batch_spatial(batch, mesh) if spatial_mesh
+                                 else shard_batch(batch, mesh))
                     ev = eval_step(val_state, batch)
                     val_losses.append(
                         {k: ev[k] for k in ("total_loss", "conf_loss",

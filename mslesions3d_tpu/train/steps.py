@@ -23,11 +23,31 @@ from ..models.ssd3d import SSD3D, SSD3DConfig
 from ..ops.nms import detect_objects
 
 
+def _model_sharding_ctx(constraint_mesh):
+    """Context installing the spatial-activation constraint interceptor.
+
+    Required for CORRECTNESS whenever batches arrive volume-depth-sharded:
+    without it XLA's partitioner miscompiles the deep backbone's backward
+    pass (see parallel/spatial.py::spatial_activation_interceptor). No-op
+    when ``constraint_mesh`` is None.
+    """
+    from contextlib import nullcontext
+
+    if constraint_mesh is None:
+        return nullcontext()
+    from flax import linen as nn
+
+    from ..parallel.spatial import spatial_activation_interceptor
+
+    return nn.intercept_methods(spatial_activation_interceptor(constraint_mesh))
+
+
 def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     augment: AugmentConfig | None = None,
                     hard_negative_mining: bool = False, donate: bool = True,
                     skip_nonfinite: bool = True, with_detections: bool = False,
-                    return_grads: bool = False, jit: bool = True):
+                    return_grads: bool = False, jit: bool = True,
+                    constraint_mesh=None):
     """Returns jitted fn(state, batch, rng) -> (state, metrics).
 
     Failure detection (SURVEY.md §5: the reference's only failure handling is
@@ -64,12 +84,13 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             box_mask = box_mask & ~degenerate
 
         def loss_fn(params):
-            (locs, scores), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
-            )
+            with _model_sharding_ctx(constraint_mesh):
+                (locs, scores), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, 1)},
+                )
             conf_loss, loc_loss = multibox_loss_from_config(
                 config, locs, scores, boxes, labels, box_mask, priors_center,
                 batch_mask=batch.get("batch_mask"),
@@ -221,7 +242,8 @@ def make_gathered_train_epoch(config: SSD3DConfig, model: SSD3D, priors_center,
 
 def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                    with_detections: bool = True,
-                   hard_negative_mining: bool = False, jit: bool = True):
+                   hard_negative_mining: bool = False, jit: bool = True,
+                   constraint_mesh=None):
     """Returns jitted fn(state, batch) -> metrics (+ padded detections).
 
     ``hard_negative_mining`` must match the training flag: otherwise the
@@ -231,10 +253,11 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
     priors_center = jnp.asarray(priors_center)
 
     def step(state, batch):
-        (locs, scores) = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], train=False,
-        )
+        with _model_sharding_ctx(constraint_mesh):
+            (locs, scores) = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
         conf_loss, loc_loss = multibox_loss_from_config(
             config, locs, scores, batch["boxes"], batch["labels"],
             batch["box_mask"], priors_center, batch_mask=batch["batch_mask"],

@@ -39,6 +39,63 @@ def test_spatial_sharding_matches_unsharded():
     )
 
 
+def test_spatial_sharded_train_step_matches_unsharded():
+    """One TRAIN step with a depth-sharded batch == unsharded: the backward
+    pass needs the transposed halo exchanges too, and the loss reduction
+    crosses the sharded prior axis. Tight tolerance — a single step has no
+    chaotic drift, so any boundary error would show directly."""
+    from mslesions3d_tpu.parallel.spatial import shard_batch_spatial
+    from mslesions3d_tpu.train.state import create_train_state
+    from mslesions3d_tpu.train.steps import make_train_step
+    from mslesions3d_tpu.models import model_priors
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=2,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    mesh = make_mesh_2d(n_data=2, n_spatial=4)
+    step = make_train_step(cfg, model, priors, donate=False, return_grads=True)
+    # the constraint interceptor is REQUIRED for sharded batches: without it
+    # XLA miscompiles the deep backbone's backward (grads x4 at 16^3/4 shards)
+    step_sh = make_train_step(cfg, model, priors, donate=False,
+                              return_grads=True, constraint_mesh=mesh)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": rng.normal(0, 1, (2, 16, 16, 16, 1)).astype(np.float32),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.2, 0.6, 0.6, 0.6], np.float32),
+                         (2, 3, 1)),
+        "labels": np.ones((2, 3), np.int32),
+        "box_mask": np.ones((2, 3), bool),
+        "batch_mask": np.ones(2, bool),
+    }
+    key = jax.random.PRNGKey(11)
+
+    state_ref = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state_ref, m_ref = step(state_ref, batch, key)
+
+    state_sh = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state_sh, m_sh = step_sh(state_sh, shard_batch_spatial(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_sh["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    # compare GRADIENTS, not post-step params: a first Adam step is
+    # ~= -lr*sign(g), so a near-zero g element flips sign on a 1e-7
+    # reduction-order difference and moves the param by a full 2*lr.
+    # These tolerances are diagnostic, not cosmetic: WITHOUT the
+    # constraint_mesh interceptor the partitioner miscompiles the deep
+    # backbone's backward and whole leaves come back x2/x4 (see
+    # parallel/spatial.py::spatial_activation_interceptor) — any such
+    # regression fails this by orders of magnitude. atol 1e-3 only
+    # absorbs partitioned-reduction noise (grads here range to ~1e2).
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh["grads"]),
+                    jax.tree_util.tree_leaves(m_ref["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_spatial_only_mesh():
     """Pure spatial split (batch 1, 8-way depth shard): the long-context analog."""
     cfg = SSD3DConfig.create(

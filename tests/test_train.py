@@ -513,3 +513,59 @@ def test_ema_tracks_params_and_roundtrips(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # and eval_view on an EMA-off state is the identity
     assert eval_view(state_off) is state_off
+
+
+def test_trainer_spatial_shards_matches_single_device(tmp_path):
+    """--spatial_shards: the Trainer's depth-sharded path (2-D mesh, XLA
+    halo exchanges) must reproduce the unsharded run — same rng, same data
+    order (both streaming), numerics equal up to partitioned reduction
+    order. The user-facing wiring of parallel/spatial.py (SURVEY.md §5's
+    context-parallel analog)."""
+    root = generate_dataset(
+        tmp_path / "data", num_images=6, n_classes=1, image_size=(16, 16, 16),
+        object_size=(5, 8), num_objects=(1, 3), seed=2, subdir="ds",
+    )
+
+    def run(spatial_shards: int):
+        dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2, max_objects=8)
+        dm.setup("fit")
+        cfg = SSD3DConfig.create(
+            n_classes=2, input_channels=1, input_size=(16, 16, 16),
+            width_mult=0.25, lr=3e-3, threshold=[0.1, 0.2], batch_size=2,
+        )
+        tcfg = TrainerConfig(
+            logdir=str(tmp_path / f"logs_sp{spatial_shards}"),
+            experiment_name="x", max_epochs=2, max_steps=100,
+            compute_metric_every_n_epochs=100, early_stopping=False,
+            verbose=False, device_data_cache=False,  # streaming in both runs
+            spatial_shards=spatial_shards, grad_hist_every_n_steps=0,
+        )
+        return Trainer(tcfg).fit(cfg, dm)
+
+    state_sp, res_sp = run(2)
+    state_1, res_1 = run(1)
+    assert int(state_sp.step) == int(state_1.step) > 0
+    for ha, hb in zip(res_sp["history"], res_1["history"]):
+        np.testing.assert_allclose(ha["avg_val_loss"], hb["avg_val_loss"],
+                                   rtol=2e-4)
+    # Adam normalizes gradients, so a reduction-order difference of ~1e-7
+    # (partitioned conv grads all-reduce in a different order) can flip an
+    # update direction on near-zero flat params; element-wise params are NOT
+    # bitwise-stable across partitionings at any tight tolerance. The
+    # val-loss check above is the semantic-equivalence assertion; this one
+    # only bounds the drift to ~10 optimizer steps' worth (lr=3e-3; measured
+    # worst leaf drift 0.018 over 100 steps on near-zero flat params).
+    for a, b in zip(jax.tree_util.tree_leaves(state_sp.params),
+                    jax.tree_util.tree_leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
+
+
+def test_trainer_spatial_shards_validates_divisibility(tmp_path):
+    dm = None  # never reached
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(15, 16, 16),
+        width_mult=0.25, threshold=[0.1, 0.2], batch_size=2,
+    )
+    tcfg = TrainerConfig(logdir=str(tmp_path), spatial_shards=2, verbose=False)
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(tcfg).fit(cfg, dm)
