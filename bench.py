@@ -34,19 +34,11 @@ import os
 import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# Persistent compilation cache: first-compile of the 96^3 tower through the
-# axon remote-compile tunnel is minutes; repeat bench runs hit the cache
-# (keyed by backend runtime version — see utils/cache.py).
-from mslesions3d_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
-from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
-from mslesions3d_tpu.ops.nms import detect_objects
+# NO jax import here: on a dead/slow axon tunnel even `jax.devices()` can
+# hang forever, and a watchdog armed after that import never runs. The
+# initial zero record is printed and the watchdog started BEFORE any jax
+# code executes (see main) — a hung backend init still yields a parseable
+# record and exit 0 instead of rc=124/null (the round-2 failure).
 
 TARGET_VOLUMES_PER_SEC = 50.0  # BASELINE.json north star (v5e)
 VOLUME = (96, 96, 96)
@@ -107,6 +99,26 @@ def _watchdog() -> None:
 
 
 # ------------------------------------------------------------------- sections
+def _late_imports() -> None:
+    """jax + framework imports, AFTER the watchdog is armed (may hang on a
+    dead tunnel). Also enables the persistent compilation cache: the first
+    compile of the 96^3 tower through the axon remote-compile tunnel is
+    minutes; repeat runs hit the cache (keyed by backend runtime version,
+    utils/cache.py)."""
+    global jax, jnp, np, SSD3D, SSD3DConfig, model_priors, detect_objects
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mslesions3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+    from mslesions3d_tpu.ops.nms import detect_objects
+
+
 def build(batch: int):
     config = SSD3DConfig.create(
         n_classes=2, input_channels=1, input_size=VOLUME, dtype="bfloat16",
@@ -224,7 +236,12 @@ def measure_train(batch: int, iters: int = 30) -> float:
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    record_detail("phase", "backend_init")  # a watchdog record showing this
+    # phase means the axon tunnel hung before ANY compile started
     emit()  # a parseable (zero) record exists from second zero
+    _late_imports()  # may hang on a dead tunnel — watchdog already armed
+    record_detail("phase", "sections")
+    emit("imports")
 
     # Section order: cheapest compile first, headline metric as early as
     # possible. Train (64^3) compiles fastest; inference b1 lands the
