@@ -166,7 +166,12 @@ def create_train_state(model, config, rng, kaiming: bool | None = None) -> Train
         kaiming = getattr(config, "init_scheme", "torch") == "kaiming_relu"
     if kaiming:
         params = kaiming_init_overrides(params, kaiming_rng)
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # plain dict, matching what the train step's mutable apply hands back —
+    # a FrozenDict({}) here breaks the skip_nonfinite tree merge for BN-less
+    # models (convnet backbone)
+    from flax.core import unfreeze
+
+    batch_stats = unfreeze(variables.get("batch_stats", {}))
 
     tx, _ = make_optimizer(config.lr, config.scheduler, t_max=config.t_max)
     opt_state = tx.init(params)

@@ -97,7 +97,13 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                 hard_negative_mining=hard_negative_mining,
             )
             total = conf_loss + config.alpha * loc_loss
-            return total, (conf_loss, loc_loss, mutated["batch_stats"], locs, scores)
+            # unfreeze: for a BN-less model (convnet backbone) flax hands
+            # back FrozenDict({}) where the state holds a plain dict, and
+            # the skip_nonfinite tree merge below needs matching structures
+            from flax.core import unfreeze
+
+            return total, (conf_loss, loc_loss, unfreeze(mutated["batch_stats"]),
+                           locs, scores)
 
         (total, (conf_loss, loc_loss, new_stats, locs, scores)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -96,6 +96,55 @@ def test_spatial_sharded_train_step_matches_unsharded():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_spatial_sharded_train_step_convnet_backbone():
+    """The interceptor's shape-based cut must hold for the ConvNet backbone
+    too (MONAI-style Convolution blocks + functional max_pool between
+    modules — pooled tensors are anchored as the next module's ARG)."""
+    from mslesions3d_tpu.parallel.spatial import shard_batch_spatial
+    from mslesions3d_tpu.train.state import create_train_state
+    from mslesions3d_tpu.train.steps import make_train_step
+    from mslesions3d_tpu.models import model_priors
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        base_network_config="convnet_maxpool_double",
+        aspect_ratios={6: [1.0], 9: [1.0]},
+        lr=1e-3, threshold=[0.1, 0.2], batch_size=2,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    mesh = make_mesh_2d(n_data=2, n_spatial=4)
+    step = make_train_step(cfg, model, priors, donate=False, return_grads=True)
+    step_sh = make_train_step(cfg, model, priors, donate=False,
+                              return_grads=True, constraint_mesh=mesh)
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(0, 1, (2, 32, 32, 32, 1)).astype(np.float32),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.2, 0.6, 0.6, 0.6], np.float32),
+                         (2, 2, 1)),
+        "labels": np.ones((2, 2), np.int32),
+        "box_mask": np.ones((2, 2), bool),
+        "batch_mask": np.ones(2, bool),
+    }
+    key = jax.random.PRNGKey(3)
+
+    state_ref = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_ref = step(state_ref, batch, key)
+    state_sh = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_sh = step_sh(state_sh, shard_batch_spatial(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_sh["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    # atol 5e-3: PReLU's sign-dependent grad amplifies partitioned-reduction
+    # noise at activation zero-crossings (measured worst 1.9e-3 over 442k
+    # elements); a miscompile regression scales WHOLE leaves x2/x4
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh["grads"]),
+                    jax.tree_util.tree_leaves(m_ref["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-3)
+
+
 def test_spatial_only_mesh():
     """Pure spatial split (batch 1, 8-way depth shard): the long-context analog."""
     cfg = SSD3DConfig.create(
