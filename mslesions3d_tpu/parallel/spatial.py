@@ -71,27 +71,36 @@ def spatial_activation_interceptor(mesh: Mesh):
       of a stride-2 conv chain once an activation's depth no longer divides
       the spatial axis (padded shards): gradients come back scaled by
       integer multiples of the shard count while the forward stays exact.
-      Reproduced on the CPU backend with a 6-layer plain-conv stack
-      (depth 16 -> 2 over 4 shards: grads x2; the SSD backbone at 16^3 over
-      4 shards: grads x4/x2 by depth) — no BatchNorm, no grouped conv, no
-      explicit padding needed. Constraining the first non-divisible
-      activation to P("data") keeps every conv the partitioner sees cleanly
-      partitioned, which is the validated-correct regime.
-    * **Performance.** Deep SSD feature maps are a few thousand elements;
-      halo exchanges and padded partitions there cost more than they save.
-      Standard spatial-partitioning practice shards only the high-res
-      stages, which is exactly what this constraint expresses.
+      Reproduced with a 6-layer plain-conv stack — no BatchNorm, grouped
+      conv, or explicit padding needed (tools/xla_spmd_bug_repro.py,
+      bug A). The cut happens one downsampling EARLY (while depth still
+      divides 2*n_spatial), because a constraint placed after a padded
+      partition exists cannot help — its backward reshards the cotangent
+      back to the padded layout the partitioner chose. Grad-exactness of
+      the constrained program is asserted by tests/test_spatial_sharding.py.
+    * **Performance.** Deep SSD feature maps are a few KB; halo exchanges
+      and padded partitions there cost more than they save. Standard
+      spatial-partitioning practice shards only the high-res stages, which
+      is exactly what this constraint expresses.
 
-    Install around ``model.apply`` via ``nn.intercept_methods``; activations
-    whose depth divides the axis are left alone, everything deeper is
-    constrained to batch-only sharding and XLA propagates that downstream.
+    Install around ``model.apply`` via ``nn.intercept_methods``; it anchors
+    both module outputs and 5-D module ARGS (raw lax.conv outputs inside
+    DepthwiseSeparableBlock are not module outputs but flow into dw_bn).
     """
     n_spatial = mesh.shape["spatial"]
-    # FULLY replicated, not P("data"): a batch-sharded cut still leaves the
-    # depthwise conv feeding it with a 1/n_spatial-scaled weight grad
-    # (measured on the toy chain); a P() cut is exact. Deep SSD maps are a
-    # few KB, so replicating their compute costs nothing.
+    # The cut itself must go to FULLY replicated, not P("data"): a
+    # batch-sharded cut leaves the depthwise conv feeding it with a
+    # 1/n_spatial-scaled weight grad (measured on the toy chain); a P()
+    # cut is exact.
     replicated = NamedSharding(mesh, P())
+
+    # NOT re-sharded to a batch layout past the cut: measured per-device
+    # memory (tools/tp_story.py, 192^3 b8) is WORSE with a cut->batch
+    # reshard (DP4xSP2 1.06x -> 3.92x), a P("data") steady state re-triggers
+    # the idle-axis weight-grad scaling (tools/xla_spmd_bug_repro.py,
+    # bug B), and the batch-1 large-volume regime — spatial sharding's
+    # actual use case — is unaffected by the choice. Plain replication is
+    # the verified-exact, measured-cheapest steady state.
 
     def fix(y):
         # Cut ONE stride-2 layer EARLY: once depth stops dividing

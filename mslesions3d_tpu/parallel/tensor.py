@@ -24,6 +24,14 @@ mu/nu optimizer moments, which mirror the parameter tree):
 Composes with data parallelism and spatial (volume-depth) sharding on a 3-D
 ("data", "spatial", "model") mesh — see make_mesh_3d and the driver dryrun
 in __graft_entry__.py.
+
+CAVEAT (jax 0.9.0): the 3-D mesh is demonstration/forward-only for
+TRAINING — the SPMD partitioner corrupts conv weight gradients whenever a
+spatially-sharded conv coexists with a third mesh axis (forward exact;
+tools/xla_spmd_bug_repro.py bug B, pinned by the canary test in
+tests/test_tensor_parallel.py). Grad-exact training meshes: 1-D (data) and
+2-D (data, spatial) — QUALITY.md "When does spatial/tensor parallelism
+win?".
 """
 
 from __future__ import annotations

@@ -5,6 +5,7 @@ activations near shard boundaries and break this numerical equality.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,11 +40,16 @@ def test_spatial_sharding_matches_unsharded():
     )
 
 
-def test_spatial_sharded_train_step_matches_unsharded():
+@pytest.mark.parametrize("batch", [2, 8])
+def test_spatial_sharded_train_step_matches_unsharded(batch):
     """One TRAIN step with a depth-sharded batch == unsharded: the backward
     pass needs the transposed halo exchanges too, and the loss reduction
     crosses the sharded prior axis. Tight tolerance — a single step has no
-    chaotic drift, so any boundary error would show directly."""
+    chaotic drift, so any boundary error would show directly.
+
+    Parametrized over batch 2 and 8 (per-data-shard batch 1 and 4) so the
+    interceptor's replicated cut is exercised with both partial and full
+    per-device batches (parallel/spatial.py)."""
     from mslesions3d_tpu.parallel.spatial import shard_batch_spatial
     from mslesions3d_tpu.train.state import create_train_state
     from mslesions3d_tpu.train.steps import make_train_step
@@ -51,7 +57,7 @@ def test_spatial_sharded_train_step_matches_unsharded():
 
     cfg = SSD3DConfig.create(
         n_classes=2, input_channels=1, input_size=(16, 16, 16),
-        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=2,
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=batch,
     )
     model = SSD3D(cfg)
     priors = model_priors(cfg)
@@ -63,13 +69,14 @@ def test_spatial_sharded_train_step_matches_unsharded():
                               return_grads=True, constraint_mesh=mesh)
 
     rng = np.random.default_rng(7)
+    B = batch
     batch = {
-        "image": rng.normal(0, 1, (2, 16, 16, 16, 1)).astype(np.float32),
+        "image": rng.normal(0, 1, (B, 16, 16, 16, 1)).astype(np.float32),
         "boxes": np.tile(np.array([0.2, 0.2, 0.2, 0.6, 0.6, 0.6], np.float32),
-                         (2, 3, 1)),
-        "labels": np.ones((2, 3), np.int32),
-        "box_mask": np.ones((2, 3), bool),
-        "batch_mask": np.ones(2, bool),
+                         (B, 3, 1)),
+        "labels": np.ones((B, 3), np.int32),
+        "box_mask": np.ones((B, 3), bool),
+        "batch_mask": np.ones(B, bool),
     }
     key = jax.random.PRNGKey(11)
 

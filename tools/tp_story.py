@@ -59,7 +59,14 @@ def main():
     model = SSD3D(config)
     priors = model_priors(config)
     state = create_train_state(model, config, jax.random.PRNGKey(0))
-    train_step = make_train_step(config, model, priors, augment=None, donate=False)
+
+    def step_for(mesh):
+        # spatial layouts REQUIRE the activation-constraint interceptor for
+        # backward correctness (parallel/spatial.py); measuring the
+        # constrained program keeps these numbers describing what users run
+        cmesh = mesh if "spatial" in mesh.axis_names else None
+        return make_train_step(config, model, priors, augment=None,
+                               donate=False, constraint_mesh=cmesh)
 
     n_priors = priors.shape[0]
     b = args.batch
@@ -122,7 +129,7 @@ def main():
             placed_state,
         )
         key = jax.ShapeDtypeStruct((2,), np.uint32)
-        lowered = train_step.lower(state_abs, batch, key)
+        lowered = step_for(mesh).lower(state_abs, batch, key)
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
         row = {
