@@ -59,6 +59,7 @@ def make_sliding_window_detector(
     top_k: int | None = None,
     per_patch_k: int | None = None,
     volume_batch: int = 1,
+    mesh=None,
 ):
     """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
 
@@ -81,6 +82,14 @@ def make_sliding_window_detector(
     underfills the chip — batching V volumes' grids into shared device
     batches recovers the large-batch inference rate (patch_batch then
     defaults to up to 128).
+
+    ``mesh`` (a 1-D "data" jax mesh) builds the MULTI-CHIP variant: each
+    device batch of patches is sharded over the mesh, so the patch grid of
+    one (or volume_batch) volume(s) runs data-parallel across chips — the
+    serving-scale path for full-volume inference on a pod slice. The
+    stitching NMS batch shards the same way. Forward-only, so none of the
+    partitioner gradient hazards apply (tools/xla_spmd_bug_repro.py);
+    sharded == single-device is asserted by tests/test_sliding_window.py.
     """
     model = SSD3D(config)
     priors = jnp.asarray(model_priors(config))
@@ -89,8 +98,17 @@ def make_sliding_window_detector(
     n_patches = offsets.shape[0]
     n_volumes = int(volume_batch)
     total = n_volumes * n_patches
+    n_shards = 1
+    if mesh is not None:
+        n_shards = int(np.prod(list(mesh.shape.values())))
     if patch_batch is None:
         patch_batch = min(-(-total // 8) * 8, 32 if n_volumes == 1 else 128)
+        patch_batch = -(-patch_batch // n_shards) * n_shards
+    if patch_batch % n_shards:
+        raise ValueError(
+            f"patch_batch={patch_batch} not divisible by the mesh's "
+            f"{n_shards} devices"
+        )
     # flat (volume, offset) work list, padded to a multiple of the device batch
     n_padded = -(-total // patch_batch) * patch_batch
     vol_idx_flat = np.concatenate(
@@ -118,6 +136,18 @@ def make_sliding_window_detector(
     vol_size = jnp.asarray(volume_shape, jnp.float32)
     patch_size = jnp.asarray(patch, jnp.float32)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        axis0 = mesh.axis_names[0]
+        _patch_sharding = NamedSharding(mesh, _P(axis0))
+
+        def shard_patches(x):
+            return jax.lax.with_sharding_constraint(x, _patch_sharding)
+    else:
+        def shard_patches(x):
+            return x
+
     @jax.jit
     def run(variables, volume):
         volumes = volume[None] if volume.ndim == 4 else volume  # (V, D, H, W, C)
@@ -135,7 +165,7 @@ def make_sliding_window_detector(
             chunk_offs = jax.lax.dynamic_slice_in_dim(offs, idx * patch_batch, patch_batch)
             chunk_vidx = jax.lax.dynamic_slice_in_dim(vidx, idx * patch_batch, patch_batch)
             chunk_valid = jax.lax.dynamic_slice_in_dim(valid, idx * patch_batch, patch_batch)
-            patches = jax.vmap(extract)(chunk_vidx, chunk_offs)
+            patches = shard_patches(jax.vmap(extract)(chunk_vidx, chunk_offs))
             locs, scores = model.apply(variables, patches, train=False)
             det = detect_objects(
                 locs, scores, priors,
@@ -188,6 +218,10 @@ def make_sliding_window_detector(
         cls_boxes, cand_scores = jax.vmap(gather_vol_class)(scores, labels, boxes)
         cls_boxes = cls_boxes.reshape(n_volumes * cm, k, 6)
         cand_scores = cand_scores.reshape(n_volumes * cm, k)
+        if mesh is not None and (n_volumes * cm) % n_shards == 0:
+            # stitch NMS rides the mesh too when its batch divides
+            cls_boxes = shard_patches(cls_boxes)
+            cand_scores = shard_patches(cand_scores)
         cand_valid = cand_scores > min_score
         if jax.default_backend() == "tpu":
             from .kernels.nms import greedy_nms_pallas

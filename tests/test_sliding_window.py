@@ -103,3 +103,33 @@ def test_sliding_window_volume_batch_matches_single():
             np.asarray(out_b["boxes"])[i], np.asarray(out_s["boxes"])[0],
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_sliding_window_mesh_matches_single_device():
+    """mesh= shards patch batches over the 8-device data mesh (the
+    multi-chip serving path); detections must equal the unsharded run."""
+    from mslesions3d_tpu.parallel import make_mesh
+
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        width_mult=0.25, min_score=0.2, top_k=10,
+    )
+    model = SSD3D(config)
+    rng = np.random.default_rng(9)
+    vol = jnp.asarray(rng.normal(0, 1, (48, 40, 48, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), vol[None, :32, :32, :32],
+                           train=False)
+
+    plain = make_sliding_window_detector(config, (48, 40, 48))
+    sharded = make_sliding_window_detector(config, (48, 40, 48),
+                                           mesh=make_mesh(8))
+    out_p = plain(variables, vol)
+    out_s = sharded(variables, vol)
+    np.testing.assert_array_equal(np.asarray(out_s["count"]),
+                                  np.asarray(out_p["count"]))
+    np.testing.assert_allclose(np.asarray(out_s["scores"]),
+                               np.asarray(out_p["scores"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_s["boxes"]),
+                               np.asarray(out_p["boxes"]),
+                               rtol=1e-5, atol=1e-6)
