@@ -87,6 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segmentation", type=str, default="labeled_lesions")
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--spatial_size", type=int, nargs=3, default=[250, 300, 300])
+    p.add_argument("--patch_size", type=int, nargs=3, default=None,
+                   help="train on random lesion-biased patches of this size, "
+                        "cropped ON DEVICE from the full-resolution volumes "
+                        "each step (the model/priors are built for the patch "
+                        "size; validation uses a deterministic lesion-"
+                        "centered crop). Pair with `predict -sw 1` for "
+                        "full-volume inference")
+    p.add_argument("--patch_pos_fraction", type=float, default=0.7,
+                   help="fraction of patches centered on a ground-truth "
+                        "lesion (the rest are uniform random crops)")
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--spatial_shards", type=int, default=1,
@@ -176,6 +186,17 @@ def main(argv=None):
     input_size = sample_shape[:3]
     if input_channels is None:
         input_channels = sample_shape[3] if len(sample_shape) == 4 else 1
+    patch_training = args.patch_size is not None
+    if patch_training:
+        if any(p > s for p, s in zip(args.patch_size, input_size)):
+            raise SystemExit(
+                f"--patch_size {tuple(args.patch_size)} exceeds the volume "
+                f"size {tuple(input_size)} on some axis"
+            )
+        print(f"[train] patch training: {tuple(args.patch_size)} patches "
+              f"from {tuple(input_size)} volumes "
+              f"(pos_fraction={args.patch_pos_fraction})")
+        input_size = tuple(args.patch_size)
     print(f"[train] {len(dataset.trainsubs)} train / {len(dataset.testsubs)} val "
           f"subjects, input size {input_size}")
 
@@ -220,6 +241,8 @@ def main(argv=None):
         use_wandb=bool(args.use_wandb),
         data_parallel=bool(args.data_parallel),
         spatial_shards=args.spatial_shards,
+        patch_training=patch_training,
+        patch_pos_fraction=args.patch_pos_fraction,
         device_data_cache=bool(args.device_data_cache),
         grad_hist_every_n_steps=args.grad_hist_every_n_steps,
         hard_negative_mining=bool(args.hard_negative_mining),

@@ -82,6 +82,13 @@ class TrainerConfig:
     # and FLOPs both scale ~1/N via XLA's conv halo exchanges
     # (parallel/spatial.py; measured 0.18x memory/device at SP8, QUALITY.md)
     spatial_shards: int = 1
+    # train on random lesion-biased patches of config.input_size cropped ON
+    # DEVICE from full-resolution volumes (data/patches.py); validation uses
+    # a deterministic lesion-centered crop. The datamodule must yield
+    # volumes >= the patch on every axis. Pair with sliding-window predict
+    # for the train-on-patches / infer-full-volume pipeline.
+    patch_training: bool = False
+    patch_pos_fraction: float = 0.7
     hard_negative_mining: bool = False
     # keep the materialized dataset in HBM and gather batches on device by
     # index (kills the per-step host->device volume transfer — on a tunneled
@@ -207,10 +214,12 @@ class Trainer:
         # deep backbone's backward pass miscompiles without it
         # (parallel/spatial.py::spatial_activation_interceptor)
         cmesh = mesh if spatial_mesh else None
+        patch_kw = dict(patch_training=cfg.patch_training,
+                        patch_pos_fraction=cfg.patch_pos_fraction)
         train_step = make_train_step(
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
-            constraint_mesh=cmesh,
+            constraint_mesh=cmesh, **patch_kw,
         )
         # instrumented variant: decode+NMS on the training forward (train
         # metric epochs) + raw grads (TB histograms); compiled separately so
@@ -219,12 +228,12 @@ class Trainer:
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,
             with_detections=True, return_grads=cfg.grad_hist_every_n_steps > 0,
-            constraint_mesh=cmesh,
+            constraint_mesh=cmesh, **patch_kw,
         )
         eval_step = make_eval_step(
             config, model, priors, with_detections=True,
             hard_negative_mining=cfg.hard_negative_mining,
-            constraint_mesh=cmesh,
+            constraint_mesh=cmesh, patch_training=cfg.patch_training,
         )
 
         # ---- data path ----
@@ -241,7 +250,7 @@ class Trainer:
         can_materialize = all(
             hasattr(datamodule, a) for a in ("materialize", "trainsubs", "testsubs")
         )  # duck-typed custom datamodules fall back to streaming
-        kw = dict(hard_negative_mining=cfg.hard_negative_mining)
+        kw = dict(hard_negative_mining=cfg.hard_negative_mining, **patch_kw)
         if cfg.device_data_cache and mesh is None and can_materialize:
             host_train = datamodule.materialize(datamodule.trainsubs)
             host_val = datamodule.materialize(datamodule.testsubs)
@@ -300,7 +309,9 @@ class Trainer:
                 config, model, priors, augment, with_detections=True,
                 return_grads=cfg.grad_hist_every_n_steps > 0, **kw)
             eval_step_g = make_gathered_eval_step(
-                config, model, priors, with_detections=True, **kw)
+                config, model, priors, with_detections=True,
+                hard_negative_mining=cfg.hard_negative_mining,
+                patch_training=cfg.patch_training)
             train_epoch_g = make_gathered_train_epoch(
                 config, model, priors, augment, **kw)
 
@@ -499,10 +510,15 @@ class Trainer:
                                              "loc_loss", "n_valid")}
                     )
                     if compute_val_metrics:
+                        # patch eval returns the patch-frame GT alongside
+                        # the patch-frame detections (steps.py)
                         self._detection_metrics(
-                            ev["detections"], host_val["boxes"][ids],
-                            host_val["labels"][ids],
-                            host_val["box_mask"][ids] & valid[:, None],
+                            ev["detections"],
+                            ev.get("gt_boxes", host_val["boxes"][ids]),
+                            ev.get("gt_labels", host_val["labels"][ids]),
+                            (np.asarray(ev["gt_box_mask"]) & valid[:, None]
+                             if "gt_box_mask" in ev
+                             else host_val["box_mask"][ids] & valid[:, None]),
                             valid, "val", accum,
                         )
             else:
@@ -518,8 +534,11 @@ class Trainer:
                     )
                     if compute_val_metrics:
                         self._detection_metrics(
-                            ev["detections"], batch["boxes"], batch["labels"],
-                            batch["box_mask"], batch["batch_mask"], "val", accum,
+                            ev["detections"],
+                            ev.get("gt_boxes", batch["boxes"]),
+                            ev.get("gt_labels", batch["labels"]),
+                            ev.get("gt_box_mask", batch["box_mask"]),
+                            batch["batch_mask"], "val", accum,
                         )
 
             # one bulk transfer for the epoch's train + val losses

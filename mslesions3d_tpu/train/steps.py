@@ -47,7 +47,8 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     hard_negative_mining: bool = False, donate: bool = True,
                     skip_nonfinite: bool = True, with_detections: bool = False,
                     return_grads: bool = False, jit: bool = True,
-                    constraint_mesh=None):
+                    constraint_mesh=None, patch_training: bool = False,
+                    patch_pos_fraction: float = 0.7):
     """Returns jitted fn(state, batch, rng) -> (state, metrics).
 
     Failure detection (SURVEY.md §5: the reference's only failure handling is
@@ -74,6 +75,27 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
         boxes = batch["boxes"]
         labels = batch["labels"]
         box_mask = batch["box_mask"]
+
+        if patch_training:
+            # device-side lesion-biased random patch crop (data/patches.py):
+            # batches carry FULL-resolution volumes; each step trains on a
+            # fresh config.input_size crop per sample. Every step variant
+            # (gathered, epoch-scan, data-parallel) inherits this because
+            # they all compose this body.
+            from ..data.patches import (
+                boxes_to_patch, crop_patches, sample_patch_starts,
+            )
+
+            full_shape = images.shape[1:4]
+            patch = tuple(config.input_size)
+            starts = sample_patch_starts(
+                jax.random.fold_in(rng, 2), full_shape, patch,
+                boxes, box_mask, patch_pos_fraction,
+            )
+            images = crop_patches(images, starts, patch)
+            boxes, box_mask = boxes_to_patch(
+                boxes, box_mask, starts, full_shape, patch
+            )
 
         if not augment.identity:
             images, boxes = augment_batch(rng, images, boxes, augment)
@@ -249,24 +271,43 @@ def make_gathered_train_epoch(config: SSD3DConfig, model: SSD3D, priors_center,
 def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                    with_detections: bool = True,
                    hard_negative_mining: bool = False, jit: bool = True,
-                   constraint_mesh=None):
+                   constraint_mesh=None, patch_training: bool = False):
     """Returns jitted fn(state, batch) -> metrics (+ padded detections).
 
     ``hard_negative_mining`` must match the training flag: otherwise the
     monitored validation loss is a different objective than the one being
     optimized and checkpoint selection picks the wrong epochs.
+    ``patch_training`` evaluates on a DETERMINISTIC lesion-centered crop of
+    each full-resolution volume (data/patches.py) so the monitored val loss
+    is reproducible across epochs.
     """
     priors_center = jnp.asarray(priors_center)
 
     def step(state, batch):
+        images = batch["image"]
+        boxes = batch["boxes"]
+        labels = batch["labels"]
+        box_mask = batch["box_mask"]
+        if patch_training:
+            from ..data.patches import (
+                boxes_to_patch, crop_patches, deterministic_patch_starts,
+            )
+
+            full_shape = images.shape[1:4]
+            patch = tuple(config.input_size)
+            starts = deterministic_patch_starts(full_shape, patch, boxes, box_mask)
+            images = crop_patches(images, starts, patch)
+            boxes, box_mask = boxes_to_patch(
+                boxes, box_mask, starts, full_shape, patch
+            )
         with _model_sharding_ctx(constraint_mesh):
             (locs, scores) = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                batch["image"], train=False,
+                images, train=False,
             )
         conf_loss, loc_loss = multibox_loss_from_config(
-            config, locs, scores, batch["boxes"], batch["labels"],
-            batch["box_mask"], priors_center, batch_mask=batch["batch_mask"],
+            config, locs, scores, boxes, labels,
+            box_mask, priors_center, batch_mask=batch["batch_mask"],
             hard_negative_mining=hard_negative_mining,
         )
         out = {
@@ -286,6 +327,12 @@ def make_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,
                 max_overlap=config.max_overlap,
                 top_k=config.top_k,
             )
+            if patch_training:
+                # detections live in the PATCH frame — hand back the
+                # remapped GT so the trainer scores like against like
+                out["gt_boxes"] = boxes
+                out["gt_labels"] = labels
+                out["gt_box_mask"] = box_mask
         return out
 
     if not jit:
