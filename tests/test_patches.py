@@ -166,3 +166,34 @@ def test_trainer_patch_training_end_to_end(tmp_path):
     assert int(state.step) > 0
     assert np.isfinite(result["history"][-1]["avg_val_loss"])
     assert (tmp_path / "logs" / "patch" / "checkpoints").exists()
+
+
+def test_trainer_patch_training_data_parallel(tmp_path):
+    """patch_training composes with --data_parallel (the sharded-cache
+    gathered step inherits the crop: shard-local gather of FULL volumes,
+    then on-device patch sampling inside the same program)."""
+    from mslesions3d_tpu.data.datasets import SyntheticDataModule
+    from mslesions3d_tpu.data.generate import generate_dataset
+    from mslesions3d_tpu.models import SSD3DConfig
+    from mslesions3d_tpu.train.loop import Trainer, TrainerConfig
+
+    root = generate_dataset(
+        tmp_path / "data", num_images=16, n_classes=1, image_size=(24, 24, 24),
+        object_size=(5, 8), num_objects=(1, 2), seed=6, subdir="ds",
+    )
+    dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=8,
+                             max_objects=8)
+    dm.setup("fit")
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=8,
+    )
+    tcfg = TrainerConfig(
+        logdir=str(tmp_path / "logs"), experiment_name="patch_dp",
+        max_epochs=1, compute_metric_every_n_epochs=100,
+        early_stopping=False, verbose=False, data_parallel=True,
+        patch_training=True, grad_hist_every_n_steps=0,
+    )
+    state, result = Trainer(tcfg).fit(cfg, dm)
+    assert int(state.step) > 0
+    assert np.isfinite(result["history"][-1]["avg_val_loss"])
