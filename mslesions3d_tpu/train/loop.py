@@ -89,6 +89,11 @@ class TrainerConfig:
     # for the train-on-patches / infer-full-volume pipeline.
     patch_training: bool = False
     patch_pos_fraction: float = 0.7
+    # under patch training, ALSO score full-volume detections (sliding
+    # window over each val volume) on the metric cadence — the deployment
+    # metric, logged as mAP/validation_full_*; the patch-crop val loss
+    # remains the checkpoint-selection monitor
+    patch_val_full_volume: bool = True
     hard_negative_mining: bool = False
     # keep the materialized dataset in HBM and gather batches on device by
     # index (kills the per-step host->device volume transfer — on a tunneled
@@ -315,6 +320,24 @@ class Trainer:
             train_epoch_g = make_gathered_train_epoch(
                 config, model, priors, augment, **kw)
 
+        # full-volume val detections under patch training: lazily built
+        # sliding-window detectors keyed by (volume shape, stack size)
+        sw_val_detectors: dict = {}
+
+        def sw_val_detect(val_state, images):
+            from ..sliding_window import make_sliding_window_detector
+
+            key = (images.shape[1:4], images.shape[0])
+            if key not in sw_val_detectors:
+                sw_val_detectors[key] = make_sliding_window_detector(
+                    config, key[0], volume_batch=key[1]
+                )
+            variables = {"params": val_state.params,
+                         "batch_stats": val_state.batch_stats}
+            return sw_val_detectors[key](variables, images)
+
+        sw_val_on = cfg.patch_training and cfg.patch_val_full_volume
+
         logger = MetricsLogger(cfg.logdir, cfg.experiment_name, cfg.use_wandb,
                                wandb_config=config.to_json_dict())
         ckpt = CheckpointManager(
@@ -346,7 +369,7 @@ class Trainer:
             compute_train_metrics = (
                 epoch % (cfg.compute_metric_every_n_epochs * 2) == 0
             )
-            accum = {"train": [], "val": []}
+            accum = {"train": [], "val": [], "val_full": []}
             t0 = time.time()
             train_losses = []
             if train_data is not None:
@@ -521,9 +544,20 @@ class Trainer:
                              else host_val["box_mask"][ids] & valid[:, None]),
                             valid, "val", accum,
                         )
+                        if sw_val_on:
+                            rows = ids[valid]
+                            det = sw_val_detect(
+                                val_state, jnp.asarray(host_val["image"][rows])
+                            )
+                            self._detection_metrics(
+                                det, host_val["boxes"][rows],
+                                host_val["labels"][rows],
+                                host_val["box_mask"][rows],
+                                np.ones(len(rows), bool), "val_full", accum,
+                            )
             else:
                 for batch in datamodule.val_batches():
-                    batch = array_batch(batch)
+                    host_batch = batch = array_batch(batch)
                     if mesh is not None:
                         batch = (shard_batch_spatial(batch, mesh) if spatial_mesh
                                  else shard_batch(batch, mesh))
@@ -540,6 +574,19 @@ class Trainer:
                             ev.get("gt_box_mask", batch["box_mask"]),
                             batch["batch_mask"], "val", accum,
                         )
+                        if sw_val_on:
+                            keep = np.asarray(host_batch["batch_mask"])
+                            imgs = np.asarray(host_batch["image"])[keep]
+                            if imgs.shape[0]:
+                                det = sw_val_detect(val_state, jnp.asarray(imgs))
+                                self._detection_metrics(
+                                    det,
+                                    np.asarray(host_batch["boxes"])[keep],
+                                    np.asarray(host_batch["labels"])[keep],
+                                    np.asarray(host_batch["box_mask"])[keep],
+                                    np.ones(int(keep.sum()), bool),
+                                    "val_full", accum,
+                                )
 
             # one bulk transfer for the epoch's train + val losses
             train_losses = jax.device_get(train_losses)
@@ -567,6 +614,9 @@ class Trainer:
             )
             if compute_val_metrics and accum["val"]:
                 self._finalize_detection_metrics(accum, "val", config, epoch_logs, "validation")
+            if compute_val_metrics and accum["val_full"]:
+                self._finalize_detection_metrics(
+                    accum, "val_full", config, epoch_logs, "validation_full")
 
             logger.log(epoch_logs, step)
             history.append({"epoch": epoch, **epoch_logs})
@@ -579,6 +629,9 @@ class Trainer:
                 )
                 if "mAP/validation_IoU_0.1" in epoch_logs:
                     msg += f" mAP@0.1={epoch_logs['mAP/validation_IoU_0.1']:.3f}"
+                if "mAP/validation_full_IoU_0.1" in epoch_logs:
+                    msg += (" full-vol mAP@0.1="
+                            f"{epoch_logs['mAP/validation_full_IoU_0.1']:.3f}")
                 print(msg, flush=True)
 
             # ---- checkpoint + early stopping ----

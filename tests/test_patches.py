@@ -166,6 +166,11 @@ def test_trainer_patch_training_end_to_end(tmp_path):
     assert int(state.step) > 0
     assert np.isfinite(result["history"][-1]["avg_val_loss"])
     assert (tmp_path / "logs" / "patch" / "checkpoints").exists()
+    # metric epochs also score FULL-volume detections via the sliding window
+    metric_epochs = [h for h in result["history"]
+                     if "mAP/validation_full_IoU_0.1" in h]
+    assert metric_epochs, "full-volume val mAP was never computed"
+    assert np.isfinite(metric_epochs[-1]["mAP/validation_full_IoU_0.1"])
 
 
 def test_trainer_patch_training_data_parallel(tmp_path):
@@ -190,10 +195,12 @@ def test_trainer_patch_training_data_parallel(tmp_path):
     )
     tcfg = TrainerConfig(
         logdir=str(tmp_path / "logs"), experiment_name="patch_dp",
-        max_epochs=1, compute_metric_every_n_epochs=100,
+        max_epochs=1, compute_metric_every_n_epochs=1,
         early_stopping=False, verbose=False, data_parallel=True,
         patch_training=True, grad_hist_every_n_steps=0,
     )
     state, result = Trainer(tcfg).fit(cfg, dm)
     assert int(state.step) > 0
     assert np.isfinite(result["history"][-1]["avg_val_loss"])
+    # the STREAMING val branch computes the full-volume sliding-window mAP
+    assert "mAP/validation_full_IoU_0.1" in result["history"][-1]
