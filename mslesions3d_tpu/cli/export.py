@@ -8,6 +8,8 @@ the trained weights baked in — see mslesions3d_tpu/serving.py.
     msl-export -m logs/run/checkpoints/best -o model.mslx -b 1 8 64
     msl-export -m ... -o model.mslx --platforms cpu tpu     # portable bundle
     msl-export -m ... -o model.mslx --nms_impl pallas       # TPU-only, fused NMS
+    msl-export -m ... -o full.mslx --sliding_window 192 224 192 -b 1 4
+        # FULL-VOLUME bundle: the whole patch-tile/stitch program baked in
 """
 
 from __future__ import annotations
@@ -28,6 +30,15 @@ def build_parser():
                    help="lowering platforms, e.g. cpu tpu (default: current backend)")
     p.add_argument("--nms_impl", default="xla", choices=["xla", "pallas"],
                    help="xla = portable, pallas = fused TPU kernel (single-platform)")
+    p.add_argument("-sw", "--sliding_window", nargs=3, type=int, default=None,
+                   metavar=("D", "H", "W"),
+                   help="export the FULL-VOLUME sliding-window detector for "
+                        "volumes of this shape (batch sizes then count "
+                        "VOLUMES per request)")
+    p.add_argument("--overlap", type=float, default=0.25,
+                   help="sliding-window patch overlap fraction")
+    p.add_argument("--per_patch_k", type=int, default=None,
+                   help="sliding-window: detections kept per patch pre-stitch")
     p.add_argument("-sc", "--min_score", type=float, default=None)
     p.add_argument("-k", "--top_k", type=int, default=None)
     p.add_argument("--dtype", default=None, help="input dtype override (e.g. float32)")
@@ -43,7 +54,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from ..serving import export_detector, save_bundle
+    from ..serving import (
+        export_detector, export_sliding_window_detector, save_bundle,
+    )
     from ..train.checkpoints import load_checkpoint
 
     config, payload, _ = load_checkpoint(args.model_path)
@@ -51,11 +64,19 @@ def main(argv=None):
     params = payload.get("ema_params") or payload["params"]
     variables = {"params": params, "batch_stats": payload["batch_stats"]}
 
-    exports, manifest = export_detector(
-        config, variables, args.batch_sizes,
-        platforms=args.platforms, nms_impl=args.nms_impl,
-        min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
-    )
+    if args.sliding_window:
+        exports, manifest = export_sliding_window_detector(
+            config, variables, args.sliding_window, args.batch_sizes,
+            overlap=args.overlap, per_patch_k=args.per_patch_k,
+            platforms=args.platforms, nms_impl=args.nms_impl,
+            min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
+        )
+    else:
+        exports, manifest = export_detector(
+            config, variables, args.batch_sizes,
+            platforms=args.platforms, nms_impl=args.nms_impl,
+            min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
+        )
     out = save_bundle(args.output, exports, manifest)
     size = Path(out).stat().st_size
     print(f"[export] wrote {out} ({size / 1e6:.2f} MB): "

@@ -107,6 +107,79 @@ def export_detector(
     return exports, manifest
 
 
+def export_sliding_window_detector(
+    config: SSD3DConfig,
+    variables,
+    volume_shape,
+    volume_batches=(1,),
+    *,
+    overlap: float = 0.25,
+    per_patch_k=None,
+    platforms=None,
+    nms_impl: str = "xla",
+    min_score=None,
+    top_k=None,
+    dtype=None,
+):
+    """Export the FULL-VOLUME sliding-window detector as serving artifacts.
+
+    Bakes weights + the whole patch-tile/stitch program (sliding_window.py)
+    into one StableHLO module per ``volume_batches`` entry: the bundle
+    serves volumes LARGER than the model's input size — the deployment form
+    of the train-on-patches / infer-full-volume pipeline. ``nms_impl``
+    governs the stitch NMS ("xla" is the portable default; "pallas" makes a
+    TPU-only bundle using the fused kernel).
+    Returns ({volume_batch: serialized bytes}, manifest dict).
+    """
+    from jax import export as jax_export
+
+    from .sliding_window import make_sliding_window_detector
+
+    min_score = config.min_score if min_score is None else min_score
+    top_k = config.top_k if top_k is None else top_k
+    in_dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(config.dtype)
+    volume_shape = tuple(int(v) for v in volume_shape)
+
+    exports = {}
+    for v in sorted(set(int(x) for x in volume_batches)):
+        run = make_sliding_window_detector(
+            config, volume_shape, overlap=overlap, min_score=min_score,
+            top_k=top_k, per_patch_k=per_patch_k, volume_batch=v,
+            stitch_impl="pallas" if nms_impl == "pallas" else "xla",
+        )
+
+        def detect(volumes, _run=run):
+            return _run(variables, volumes)
+
+        spec = jax.ShapeDtypeStruct(
+            (v, *volume_shape, config.input_channels), in_dtype
+        )
+        kwargs = {"platforms": tuple(platforms)} if platforms else {}
+        exports[v] = jax_export.export(jax.jit(detect), **kwargs)(spec).serialize()
+
+    manifest = {
+        "manifest_version": MANIFEST_VERSION,
+        "kind": "sliding_window",
+        "config": config.to_json_dict(),
+        "input": {
+            "shape": [None, *volume_shape, config.input_channels],
+            "dtype": str(in_dtype),
+        },
+        "volume_shape": list(volume_shape),
+        "overlap": float(overlap),
+        "per_patch_k": per_patch_k,
+        "batch_sizes": sorted(exports),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "nms_impl": nms_impl,
+        "min_score": float(min_score),
+        "top_k": int(top_k),
+        "jax_version": jax.__version__,
+        "outputs": ["boxes (V,top_k,6) corner-frac of the FULL volume",
+                    "labels (V,top_k)", "scores (V,top_k)", "count (V,)"],
+    }
+    return exports, manifest
+
+
 def save_bundle(path, exports: dict, manifest: dict) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -147,7 +220,7 @@ class ServingDetector:
         if n == 0:
             # empty request: zero-length detection dict shaped from the
             # manifest (the chunk loop below would index outs[0])
-            top_k = self.config.top_k
+            top_k = int(self.manifest.get("top_k", self.config.top_k))
             return {
                 "boxes": np.zeros((0, top_k, 6), np.float32),
                 "labels": np.zeros((0, top_k), np.int32),

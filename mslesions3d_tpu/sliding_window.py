@@ -60,6 +60,7 @@ def make_sliding_window_detector(
     per_patch_k: int | None = None,
     volume_batch: int = 1,
     mesh=None,
+    stitch_impl: str = "auto",
 ):
     """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
 
@@ -223,7 +224,11 @@ def make_sliding_window_detector(
             cls_boxes = shard_patches(cls_boxes)
             cand_scores = shard_patches(cand_scores)
         cand_valid = cand_scores > min_score
-        if jax.default_backend() == "tpu":
+        # "auto" picks the fused Pallas kernel on TPU; serving export forces
+        # "xla" so multi-platform bundles lower everywhere
+        if stitch_impl == "pallas" or (
+            stitch_impl == "auto" and jax.default_backend() == "tpu"
+        ):
             from .kernels.nms import greedy_nms_pallas
 
             keep = greedy_nms_pallas(cls_boxes, cand_valid, float(max_overlap))

@@ -78,3 +78,37 @@ def test_export_cli_from_checkpoint(tmp_path):
     images = np.zeros((2, 24, 24, 24, 1), np.float32)
     res = det.predict(images)
     assert res["labels"].shape == (2, 8)
+
+
+def test_sliding_window_export_roundtrip(tmp_path):
+    """Full-volume bundle: export the patch-tile/stitch program, serve a
+    volume larger than the model input, match the live sliding-window
+    detector exactly (incl. request chunking over exported volume counts)."""
+    from mslesions3d_tpu.serving import export_sliding_window_detector
+    from mslesions3d_tpu.sliding_window import make_sliding_window_detector
+
+    config, model, variables = _tiny_model()
+    vol_shape = (32, 28, 32)
+    exports, manifest = export_sliding_window_detector(
+        config, variables, vol_shape, volume_batches=(2,),
+        nms_impl="xla", dtype="float32",
+    )
+    assert manifest["kind"] == "sliding_window"
+    bundle = save_bundle(tmp_path / "full.mslx", exports, manifest)
+
+    det = ServingDetector(bundle)
+    rng = np.random.default_rng(1)
+    vols = rng.normal(0, 1, (3, *vol_shape, 1)).astype(np.float32)
+    served = det.predict(vols)  # 3 volumes over batch-2 artifacts: chunk+pad
+
+    live_fn = make_sliding_window_detector(config, vol_shape, stitch_impl="xla")
+    for i in range(3):
+        live = live_fn(variables, jnp.asarray(vols[i]))
+        np.testing.assert_array_equal(served["count"][i],
+                                      np.asarray(live["count"])[0])
+        np.testing.assert_allclose(served["scores"][i],
+                                   np.asarray(live["scores"])[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(served["boxes"][i],
+                                   np.asarray(live["boxes"])[0],
+                                   rtol=1e-5, atol=1e-6)
