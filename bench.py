@@ -234,12 +234,35 @@ def measure_train(batch: int, iters: int = 30) -> float:
     return batch * iters / dt
 
 
+def _backend_alive(timeout_sec: float = 90.0) -> bool:
+    """Probe backend init in a SUBPROCESS: a dead axon tunnel hangs
+    jax.devices() forever and cannot be interrupted in-process, so the
+    probe is the only way to fail fast with a diagnosis."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_sec, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     record_detail("phase", "backend_init")  # a watchdog record showing this
-    # phase means the axon tunnel hung before ANY compile started
+    # phase means the backend hung before ANY compile started
     emit()  # a parseable (zero) record exists from second zero
-    _late_imports()  # may hang on a dead tunnel — watchdog already armed
+    if not _backend_alive():
+        # dead tunnel: record the diagnosis and exit 0 immediately instead
+        # of idling until the watchdog (observed: multi-hour axon outages)
+        record_detail("tpu_unreachable", True)
+        emit("backend_probe")
+        return
+    _late_imports()  # may still hang — watchdog already armed
     record_detail("phase", "sections")
     emit("imports")
 
