@@ -112,3 +112,42 @@ def test_sliding_window_export_roundtrip(tmp_path):
         np.testing.assert_allclose(served["boxes"][i],
                                    np.asarray(live["boxes"])[0],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_serve_cli_from_bundle(tmp_path):
+    """msl-serve: NIfTI in -> bundle AOT call -> detections JSON out,
+    numerically equal to ServingDetector.predict on the same volumes."""
+    from mslesions3d_tpu.cli.serve import main as serve_main
+    from mslesions3d_tpu.data.nifti import save_nifti
+    from mslesions3d_tpu.serving import export_sliding_window_detector
+
+    config, model, variables = _tiny_model()
+    vol_shape = (32, 28, 32)
+    exports, manifest = export_sliding_window_detector(
+        config, variables, vol_shape, volume_batches=(2,),
+        nms_impl="xla", dtype="float32", min_score=0.0, top_k=5,
+    )
+    bundle = save_bundle(tmp_path / "full.mslx", exports, manifest)
+
+    rng = np.random.default_rng(2)
+    paths = []
+    vols = []
+    for i in range(2):
+        img = rng.normal(0, 1, vol_shape).astype(np.float32)
+        p = tmp_path / f"vol{i}.nii.gz"
+        save_nifti(p, img)
+        paths.append(str(p))
+        vols.append(img)
+    out_dir = serve_main(["-m", str(bundle), "-i", *paths,
+                          "-o", str(tmp_path / "served"), "--normalize", "0"])
+
+    import json
+    det = ServingDetector(bundle)
+    ref = det.predict(np.stack(vols)[..., None])
+    for i in range(2):
+        rec = json.loads((out_dir / f"vol{i}_detections.json").read_text())
+        assert len(rec["detections"]) == int(ref["count"][i]) > 0
+        np.testing.assert_allclose(
+            rec["detections"][0]["box_frac"], ref["boxes"][i][0], rtol=1e-6
+        )
+        assert rec["detections"][0]["label"] == int(ref["labels"][i][0])
