@@ -168,3 +168,33 @@ def test_origspace_inverse_and_nifti_export(tmp_path):
     hi = np.array([n.max() for n in nz])
     np.testing.assert_allclose(lo, expected[:3], atol=2.0)
     np.testing.assert_allclose(hi, expected[3:], atol=2.0)
+
+
+def test_patch_training_on_bids_volumes(bids_root, tmp_path):
+    """The full-resolution patch-training regime on the BIDS datamodule:
+    32^3 patches cropped on device from 48^3 preprocessed volumes, one
+    metric epoch with the sliding-window full-volume val mAP."""
+    import jax
+    from mslesions3d_tpu.models import SSD3DConfig
+    from mslesions3d_tpu.train.loop import Trainer, TrainerConfig
+
+    dm = LesionsDataModule(
+        data_dir=bids_root, centers=("CHUV_RIM_OK",), batch_size=2,
+        spatial_size=(48, 48, 48), max_objects=4, cache=True,
+    )
+    dm.setup("fit")
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=2,
+        min_object_size=3.0, max_object_size=8.0,
+    )
+    tcfg = TrainerConfig(
+        logdir=str(tmp_path / "logs"), experiment_name="bids_patch",
+        max_epochs=1, compute_metric_every_n_epochs=1, early_stopping=False,
+        verbose=False, patch_training=True, grad_hist_every_n_steps=0,
+    )
+    state, result = Trainer(tcfg).fit(cfg, dm)
+    assert int(state.step) > 0
+    last = result["history"][-1]
+    assert np.isfinite(last["avg_val_loss"])
+    assert "mAP/validation_full_IoU_0.1" in last
