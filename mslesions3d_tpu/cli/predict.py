@@ -303,7 +303,15 @@ def predict_dataset(dataset, state, config, predict_subset="train", min_score=0.
                 k: np.concatenate([np.asarray(d[k]) for d in dets]) for k in dets[0]
             }
         else:
-            det = step(state, array_batch(batch)["image"])
+            images = array_batch(batch)["image"]
+            if tuple(images.shape[1:4]) != tuple(config.input_size):
+                raise SystemExit(
+                    f"volumes are {tuple(images.shape[1:4])} but the "
+                    f"checkpoint's input size is {tuple(config.input_size)} "
+                    "(e.g. a patch-trained model) — run full volumes with "
+                    "sliding-window inference: predict -sw 1"
+                )
+            det = step(state, images)
         det = {k: np.asarray(v) for k, v in det.items()}
         db, dl, ds = detections_to_lists(det)
         for i, subj in enumerate(batch["subjects"]):
