@@ -9,6 +9,13 @@ predict loop from a Python checkpoint, reference predict.py:235-281).
 
     msl-serve -m model.mslx -i sub-01_image.nii.gz -o out/
     msl-serve -m full.mslx -i vol1.nii.gz vol2.nii.gz -o out/   # batches
+    msl-serve -m model.mslx --listen 8080                       # HTTP server
+
+HTTP mode (stdlib only): POST /predict with an .npy body of shape
+(V, D, H, W, C), (D, H, W, C) or (D, H, W) returns detections as JSON;
+GET /healthz returns the bundle manifest summary. Requests are serialized
+onto the device by a lock; the AOT artifacts are compiled at load, so
+first-request latency is the device dispatch only.
 """
 
 from __future__ import annotations
@@ -23,9 +30,12 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-m", "--model_path", required=True, help=".mslx bundle")
-    p.add_argument("-i", "--inputs", nargs="+", required=True,
-                   help="NIfTI volume path(s)")
-    p.add_argument("-o", "--output_dir", required=True)
+    p.add_argument("-i", "--inputs", nargs="*", default=None,
+                   help="NIfTI volume path(s) (batch mode)")
+    p.add_argument("-o", "--output_dir", default=None)
+    p.add_argument("--listen", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP instead of batch mode (0 = any "
+                        "free port, printed at startup)")
     p.add_argument("--normalize", type=int, default=1,
                    help="nonzero-mean/std normalize per volume (the training "
                         "pipeline's normalization; 0 = raw intensities)")
@@ -45,6 +55,75 @@ def _normalize(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def make_http_server(det, port: int):
+    """ThreadingHTTPServer over a ServingDetector (stdlib only).
+
+    POST /predict: .npy body -> JSON {count, detections per volume}.
+    GET /healthz: manifest summary. One device at a time via a lock (the
+    bundle's chunk router already batches a request internally).
+    """
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+    expected = tuple(det.manifest["input"]["shape"][1:4])
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, {"error": "unknown path"})
+            m = det.manifest
+            self._send(200, {
+                "status": "ok", "kind": m.get("kind", "detector"),
+                "input": m["input"], "batch_sizes": m["batch_sizes"],
+                "top_k": m.get("top_k"), "platforms": m["platforms"],
+            })
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._send(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                arr = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+                if arr.ndim == 3:
+                    arr = arr[None, ..., None]
+                elif arr.ndim == 4:
+                    arr = arr[None]
+                if arr.ndim != 5 or arr.shape[1:4] != expected:
+                    return self._send(400, {
+                        "error": f"volume {arr.shape} does not match bundle "
+                                 f"input (V, {expected}, C)"})
+                with lock:
+                    res = det.predict(arr.astype(np.float32))
+                out = []
+                for i in range(arr.shape[0]):
+                    k = int(res["count"][i])
+                    out.append({
+                        "count": k,
+                        "boxes_frac": res["boxes"][i][:k].tolist(),
+                        "labels": res["labels"][i][:k].tolist(),
+                        "scores": res["scores"][i][:k].tolist(),
+                    })
+                self._send(200, {"volumes": out})
+            except Exception as e:  # malformed request must not kill serving
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
@@ -56,6 +135,15 @@ def main(argv=None):
     from ..serving import ServingDetector
 
     det = ServingDetector(args.model_path)
+    if args.listen is not None:
+        server = make_http_server(det, args.listen)
+        print(f"[serve] listening on http://127.0.0.1:{server.server_port} "
+              f"(POST /predict, GET /healthz)", flush=True)
+        server.serve_forever()
+        return server
+    if not args.inputs or args.output_dir is None:
+        raise SystemExit("batch mode needs -i volumes and -o output_dir "
+                         "(or --listen PORT for HTTP mode)")
     expected = tuple(det.manifest["input"]["shape"][1:4])
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -151,3 +151,56 @@ def test_serve_cli_from_bundle(tmp_path):
             rec["detections"][0]["box_frac"], ref["boxes"][i][0], rtol=1e-6
         )
         assert rec["detections"][0]["label"] == int(ref["labels"][i][0])
+
+
+def test_serve_http_endpoint(tmp_path):
+    """HTTP mode: /healthz + /predict roundtrip against ServingDetector."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.request
+
+    from mslesions3d_tpu.cli.serve import make_http_server
+
+    config, model, variables = _tiny_model()
+    exports, manifest = export_detector(
+        config, variables, batch_sizes=(2,), nms_impl="xla",
+        dtype="float32", min_score=0.0, top_k=5,
+    )
+    bundle = save_bundle(tmp_path / "m.mslx", exports, manifest)
+    det = ServingDetector(bundle)
+    server = make_http_server(det, 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        health = jsonlib.loads(urllib.request.urlopen(f"{base}/healthz").read())
+        assert health["status"] == "ok" and health["batch_sizes"] == [2]
+
+        rng = np.random.default_rng(7)
+        vols = rng.normal(0, 1, (2, 24, 24, 24, 1)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, vols)
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(),
+                                     method="POST")
+        res = jsonlib.loads(urllib.request.urlopen(req).read())
+        ref = det.predict(vols)
+        assert len(res["volumes"]) == 2
+        for i, v in enumerate(res["volumes"]):
+            assert v["count"] == int(ref["count"][i]) > 0
+            np.testing.assert_allclose(v["boxes_frac"],
+                                       ref["boxes"][i][: v["count"]],
+                                       rtol=1e-6)
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(f"{base}/predict", data=b"junk",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert jsonlib.loads(
+            urllib.request.urlopen(f"{base}/healthz").read())["status"] == "ok"
+    finally:
+        server.shutdown()
