@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_pos_fraction", type=float, default=0.7,
                    help="fraction of patches centered on a ground-truth "
                         "lesion (the rest are uniform random crops)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="> 1 accumulates gradients over that many "
+                        "micro-batches per optimizer step (activation "
+                        "memory of one micro-batch; batch_size must divide)")
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--spatial_shards", type=int, default=1,
@@ -243,6 +247,7 @@ def main(argv=None):
         spatial_shards=args.spatial_shards,
         patch_training=patch_training,
         patch_pos_fraction=args.patch_pos_fraction,
+        grad_accum=args.grad_accum,
         device_data_cache=bool(args.device_data_cache),
         grad_hist_every_n_steps=args.grad_hist_every_n_steps,
         hard_negative_mining=bool(args.hard_negative_mining),

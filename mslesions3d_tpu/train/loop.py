@@ -89,6 +89,10 @@ class TrainerConfig:
     # for the train-on-patches / infer-full-volume pipeline.
     patch_training: bool = False
     patch_pos_fraction: float = 0.7
+    # > 1 splits each batch into that many micro-batches scanned with
+    # gradient averaging before ONE optimizer update — activation memory of
+    # one micro-batch, effective batch of the full one (steps.py)
+    grad_accum: int = 1
     # under patch training, ALSO score full-volume detections (sliding
     # window over each val volume) on the metric cadence — the deployment
     # metric, logged as mAP/validation_full_*; the patch-crop val loss
@@ -220,7 +224,8 @@ class Trainer:
         # (parallel/spatial.py::spatial_activation_interceptor)
         cmesh = mesh if spatial_mesh else None
         patch_kw = dict(patch_training=cfg.patch_training,
-                        patch_pos_fraction=cfg.patch_pos_fraction)
+                        patch_pos_fraction=cfg.patch_pos_fraction,
+                        grad_accum=max(1, int(cfg.grad_accum)))
         train_step = make_train_step(
             config, model, priors, augment,
             hard_negative_mining=cfg.hard_negative_mining,

@@ -48,7 +48,7 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     skip_nonfinite: bool = True, with_detections: bool = False,
                     return_grads: bool = False, jit: bool = True,
                     constraint_mesh=None, patch_training: bool = False,
-                    patch_pos_fraction: float = 0.7):
+                    patch_pos_fraction: float = 0.7, grad_accum: int = 1):
     """Returns jitted fn(state, batch, rng) -> (state, metrics).
 
     Failure detection (SURVEY.md §5: the reference's only failure handling is
@@ -66,6 +66,15 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
     returns the raw gradient tree (for the every-25-steps TB histograms,
     ssd3d.py:729-738). Both add outputs, so they are built as a separate
     compiled variant used only on metric/histogram steps.
+
+    ``grad_accum > 1`` splits the batch into that many micro-batches and
+    runs them as a lax.scan, averaging gradients before ONE optimizer
+    update — activation memory drops to one micro-batch's worth, so large
+    patches/volumes can train at effective batch sizes that do not fit
+    HBM. Standard grad-accum semantics: BatchNorm statistics and the
+    MultiBox positives normalization are per-micro-batch (exactly
+    equivalent to the unaccumulated step when positives are evenly
+    distributed; tested).
     """
     priors_center = jnp.asarray(priors_center)
     augment = augment or AugmentConfig()
@@ -105,17 +114,17 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             degenerate = jnp.any(boxes[..., 3:] <= boxes[..., :3], axis=-1)
             box_mask = box_mask & ~degenerate
 
-        def loss_fn(params):
+        def loss_fn(params, stats, mb):
             with _model_sharding_ctx(constraint_mesh):
                 (locs, scores), mutated = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    images, train=True,
+                    {"params": params, "batch_stats": stats},
+                    mb["image"], train=True,
                     mutable=["batch_stats"],
                     rngs={"dropout": jax.random.fold_in(rng, 1)},
                 )
             conf_loss, loc_loss = multibox_loss_from_config(
-                config, locs, scores, boxes, labels, box_mask, priors_center,
-                batch_mask=batch.get("batch_mask"),
+                config, locs, scores, mb["boxes"], mb["labels"],
+                mb["box_mask"], priors_center, batch_mask=mb["batch_mask"],
                 hard_negative_mining=hard_negative_mining,
             )
             total = conf_loss + config.alpha * loc_loss
@@ -127,9 +136,46 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             return total, (conf_loss, loc_loss, unfreeze(mutated["batch_stats"]),
                            locs, scores)
 
-        (total, (conf_loss, loc_loss, new_stats, locs, scores)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        )
+        mb_full = {
+            "image": images, "boxes": boxes, "labels": labels,
+            "box_mask": box_mask,
+            "batch_mask": batch.get(
+                "batch_mask", jnp.ones(images.shape[0], bool)
+            ),
+        }
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum <= 1:
+            (total, (conf_loss, loc_loss, new_stats, locs, scores)), grads = (
+                grad_fn(state.params, state.batch_stats, mb_full)
+            )
+        else:
+            B = images.shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch size {B} is not divisible by grad_accum={grad_accum}"
+                )
+            micro = {
+                k: v.reshape(grad_accum, B // grad_accum, *v.shape[1:])
+                for k, v in mb_full.items()
+            }
+
+            def accum_body(carry, mb):
+                gsum, stats = carry
+                (t, (c, l, new_stats, locs, scores)), g = grad_fn(
+                    state.params, stats, mb
+                )
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                # BN running stats chain micro-batch to micro-batch
+                return (gsum, new_stats), (t, c, l, locs, scores)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_stats), (ts, cs, ls, locs_s, scores_s) = jax.lax.scan(
+                accum_body, (zero, state.batch_stats), micro
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            total, conf_loss, loc_loss = ts.mean(), cs.mean(), ls.mean()
+            locs = locs_s.reshape(B, *locs_s.shape[2:])
+            scores = scores_s.reshape(B, *scores_s.shape[2:])
         updated = state.apply_gradients(grads, new_batch_stats=new_stats)
         ema_decay = float(getattr(config, "ema_decay", 0.0))
         if ema_decay > 0.0 and state.ema_params is not None:

@@ -1,0 +1,130 @@
+"""Gradient accumulation (make_train_step(grad_accum=N))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mslesions3d_tpu.models import SSD3D, SSD3DConfig, model_priors
+from mslesions3d_tpu.train import create_train_state, make_train_step
+
+
+def _batch(B, size, n_obj=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.normal(0, 1, (B, *size, 1)).astype(np.float32),
+        "boxes": np.tile(np.asarray([[0.2, 0.2, 0.2, 0.5, 0.5, 0.5]],
+                                    np.float32), (B, n_obj, 1)),
+        "labels": np.ones((B, n_obj), np.int32),
+        "box_mask": np.ones((B, n_obj), bool),
+        "batch_mask": np.ones(B, bool),
+    }
+
+
+def test_grad_accum_matches_manual_micro_average_convnet():
+    """Exact semantics on the BN-less convnet backbone: grad_accum=4 must
+    equal the hand-rolled accumulation — four single-sample steps from the
+    SAME state, gradients averaged, losses meaned. (Shapes and rng keys per
+    micro-batch match the scan body exactly, so dropout masks agree too;
+    vs the FULL batch the result legitimately differs through dropout and
+    BN, which is standard grad-accum semantics.)"""
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        base_network_config="convnet_maxpool_double",
+        aspect_ratios={4: [1.0], 6: [1.0]},
+        lr=1e-3, threshold=[0.1, 0.2], batch_size=4,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    batch = _batch(4, (16, 16, 16))
+    key = jax.random.PRNGKey(5)
+
+    step1 = make_train_step(cfg, model, priors, donate=False,
+                            return_grads=True)
+    step4 = make_train_step(cfg, model, priors, donate=False,
+                            return_grads=True, grad_accum=4)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+
+    micro_grads, micro_losses = [], []
+    for i in range(4):
+        mb = {k: v[i:i + 1] for k, v in batch.items()}
+        _, m = step1(state, mb, key)
+        micro_grads.append(m["grads"])
+        micro_losses.append(float(m["total_loss"]))
+    manual = jax.tree_util.tree_map(
+        lambda *gs: sum(np.asarray(g, np.float64) for g in gs) / 4.0,
+        *micro_grads)
+
+    _, m4 = step4(state, batch, key)
+    np.testing.assert_allclose(float(m4["total_loss"]),
+                               np.mean(micro_losses), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m4["grads"]),
+                    jax.tree_util.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_mobilenet_smoke_and_detections():
+    """BN model: losses finite, state advances, BN stats move, and the
+    with_detections variant reassembles full-batch detections."""
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=4,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    step = make_train_step(cfg, model, priors, donate=False,
+                           with_detections=True, grad_accum=2)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    stats_before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    batch = _batch(4, (16, 16, 16), seed=3)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+    assert int(state.step) == 1
+    assert m["detections"]["boxes"].shape[0] == 4
+    stats_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(stats_before), np.asarray(stats_after))
+
+
+def test_grad_accum_indivisible_batch_raises():
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, threshold=[0.1, 0.2], batch_size=3,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    step = make_train_step(cfg, model, priors, donate=False, grad_accum=2)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, _batch(3, (16, 16, 16)), jax.random.PRNGKey(0))
+
+
+def test_grad_accum_cuts_step_memory():
+    """The point of the feature: XLA per-device temp memory of the compiled
+    step drops when activations are one micro-batch's worth."""
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(32, 32, 32),
+        width_mult=0.5, lr=1e-3, threshold=[0.1, 0.2], batch_size=8,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state_abs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    batch_abs = {
+        "image": jax.ShapeDtypeStruct((8, 32, 32, 32, 1), np.float32),
+        "boxes": jax.ShapeDtypeStruct((8, 1, 6), np.float32),
+        "labels": jax.ShapeDtypeStruct((8, 1), np.int32),
+        "box_mask": jax.ShapeDtypeStruct((8, 1), bool),
+        "batch_mask": jax.ShapeDtypeStruct((8,), bool),
+    }
+    key = jax.ShapeDtypeStruct((2,), np.uint32)
+
+    def temp_bytes(accum):
+        step = make_train_step(cfg, model, priors, donate=False,
+                               grad_accum=accum)
+        ma = step.lower(state_abs, batch_abs, key).compile().memory_analysis()
+        return getattr(ma, "temp_size_in_bytes", 0)
+
+    assert temp_bytes(8) < 0.55 * temp_bytes(1)
