@@ -159,10 +159,30 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                 for k, v in mb_full.items()
             }
 
+            def pin_micro(mb):
+                # under a spatial mesh the scan's micro-slices need their
+                # layouts pinned: left to the partitioner, a micro batch
+                # smaller than the mesh lands in the padded-partition regime
+                # whose backward is miscompiled (parallel/spatial.py)
+                if constraint_mesh is None:
+                    return mb
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_data = dict(constraint_mesh.shape).get("data", 1)
+                b = mb["image"].shape[0]
+                data_ax = "data" if (n_data > 1 and b % n_data == 0) else None
+                img = NamedSharding(constraint_mesh, P(data_ax, "spatial"))
+                row = NamedSharding(constraint_mesh, P(data_ax))
+                return {
+                    k: jax.lax.with_sharding_constraint(
+                        v, img if getattr(v, "ndim", 0) >= 5 else row)
+                    for k, v in mb.items()
+                }
+
             def accum_body(carry, mb):
                 gsum, stats = carry
                 (t, (c, l, new_stats, locs, scores)), g = grad_fn(
-                    state.params, stats, mb
+                    state.params, stats, pin_micro(mb)
                 )
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 # BN running stats chain micro-batch to micro-batch

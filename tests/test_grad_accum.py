@@ -128,3 +128,37 @@ def test_grad_accum_cuts_step_memory():
         return getattr(ma, "temp_size_in_bytes", 0)
 
     assert temp_bytes(8) < 0.55 * temp_bytes(1)
+
+
+def test_grad_accum_composes_with_spatial_mesh():
+    """grad_accum under a depth-sharded batch: the micro-batch reshape of a
+    sharded array reshard + the activation-constraint interceptor must
+    still give the unsharded result (loss-level; single step)."""
+    from mslesions3d_tpu.parallel.spatial import (
+        make_mesh_2d, shard_batch_spatial,
+    )
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=4,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    batch = _batch(4, (16, 16, 16), seed=8)
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh_2d(n_data=2, n_spatial=4)
+
+    step_ref = make_train_step(cfg, model, priors, donate=False, grad_accum=2)
+    state_ref = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_ref = step_ref(state_ref, batch, key)
+
+    step_sh = make_train_step(cfg, model, priors, donate=False, grad_accum=2,
+                              constraint_mesh=mesh)
+    state_sh = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_sh = step_sh(state_sh, shard_batch_spatial(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_sh["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    assert np.isfinite(float(m_sh["grad_norm"]))
+    np.testing.assert_allclose(float(m_sh["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-3)
