@@ -46,7 +46,8 @@ def main():
     V = args.volume
     rows = []
 
-    def measure(label, input_size, batch, full_size, patch_training):
+    def measure(label, input_size, batch, full_size, patch_training,
+                grad_accum=1):
         config = SSD3DConfig.create(
             n_classes=2, input_channels=1, input_size=input_size,
             width_mult=args.width, lr=1e-3, threshold=[0.1, 0.2],
@@ -56,7 +57,8 @@ def main():
         priors = model_priors(config)
         state = create_train_state(model, config, jax.random.PRNGKey(0))
         step = make_train_step(config, model, priors, augment=None,
-                               donate=False, patch_training=patch_training)
+                               donate=False, patch_training=patch_training,
+                               grad_accum=grad_accum)
         batch_spec = {
             "image": jax.ShapeDtypeStruct((batch, *full_size, 1), np.float32),
             "boxes": jax.ShapeDtypeStruct((batch, 4, 6), np.float32),
@@ -84,6 +86,12 @@ def main():
             f"patch {patch}^3 from {V}^3 volumes, batch {batch}",
             (patch,) * 3, batch, full, True,
         )
+    # composed with gradient accumulation: effective batch 8 at the
+    # activation memory of a 2-sample micro-batch
+    measure(
+        f"patch 96^3 from {V}^3 volumes, batch 8, grad_accum 4",
+        (96,) * 3, 8, full, True, grad_accum=4,
+    )
 
     base = rows[0][1]
     print(f"\nvolume {V}^3, width {args.width}, bf16 compute; "
