@@ -371,8 +371,11 @@ class Trainer:
                 break
 
             # ---- train epoch ----
+            # interval 0 = never (the reference has no disable switch;
+            # 0 would modulo-crash there too, so this is a strict extension)
+            metric_interval = cfg.compute_metric_every_n_epochs
             compute_train_metrics = (
-                epoch % (cfg.compute_metric_every_n_epochs * 2) == 0
+                metric_interval > 0 and epoch % (metric_interval * 2) == 0
             )
             accum = {"train": [], "val": [], "val_full": []}
             t0 = time.time()
@@ -522,7 +525,10 @@ class Trainer:
             # ---- validation ----
             # scored on the EMA params when config.ema_decay > 0 (eval_view),
             # so checkpoint selection/early stopping track the average
-            compute_val_metrics = epoch % cfg.compute_metric_every_n_epochs == 0
+            compute_val_metrics = (
+                cfg.compute_metric_every_n_epochs > 0
+                and epoch % cfg.compute_metric_every_n_epochs == 0
+            )
             val_state = eval_view(state)
             val_losses = []
             if val_data is not None:

@@ -113,6 +113,20 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             boxes = jnp.clip(boxes, 0.0, 1.0)
             degenerate = jnp.any(boxes[..., 3:] <= boxes[..., :3], axis=-1)
             box_mask = box_mask & ~degenerate
+            if constraint_mesh is not None:
+                # pin the augmented image back to the canonical
+                # (data, spatial) layout: the flip resample contracts over
+                # the sharded depth axis, and left to itself the
+                # partitioner's layout choice for that contraction puts the
+                # following conv chain's BACKWARD in the same miscompiled
+                # regime as bug A (whole grad leaves x2 at n_spatial=2,
+                # forward exact; tools/xla_spmd_bug_repro.py bug C)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                images = jax.lax.with_sharding_constraint(
+                    images,
+                    NamedSharding(constraint_mesh, P("data", "spatial")),
+                )
 
         def loss_fn(params, stats, mb):
             with _model_sharding_ctx(constraint_mesh):

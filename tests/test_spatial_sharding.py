@@ -170,3 +170,60 @@ def test_spatial_only_mesh():
     np.testing.assert_allclose(
         np.asarray(locs_sh), np.asarray(locs_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_spatial_sharded_train_step_with_augment_ns2():
+    """Flip augmentation + spatial sharding at n_spatial=2 (regression).
+
+    The flip is a separable resample contracting over the sharded depth
+    axis; before train/steps.py pinned the augmented image back to the
+    canonical (data, spatial) layout, the partitioner's layout choice for
+    that contraction put the conv chain's backward in the bug-A regime:
+    whole grad leaves came back x2 (max |dev| ~2.0) while forward/loss
+    stayed exact. n_spatial=4 was coincidentally unaffected, which is why
+    the original equivalence tests missed it (found by the round-4
+    dryrun_multichip equality assertion; tools/xla_spmd_bug_repro.py bug C).
+    """
+    from mslesions3d_tpu.data.augment import AugmentConfig
+    from mslesions3d_tpu.parallel.spatial import shard_batch_spatial
+    from mslesions3d_tpu.train.state import create_train_state
+    from mslesions3d_tpu.train.steps import make_train_step
+    from mslesions3d_tpu.models import model_priors
+
+    cfg = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(16, 16, 16),
+        width_mult=0.25, lr=1e-3, threshold=[0.1, 0.2], batch_size=4,
+    )
+    model = SSD3D(cfg)
+    priors = model_priors(cfg)
+    augment = AugmentConfig(flip_axes=(0, 1, 2))
+    mesh = make_mesh_2d(n_data=2, n_spatial=2)
+    step = make_train_step(cfg, model, priors, augment=augment,
+                           donate=False, return_grads=True)
+    step_sh = make_train_step(cfg, model, priors, augment=augment,
+                              donate=False, return_grads=True,
+                              constraint_mesh=mesh)
+
+    rng = np.random.default_rng(7)
+    B = 4
+    batch = {
+        "image": rng.normal(0, 1, (B, 16, 16, 16, 1)).astype(np.float32),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.2, 0.6, 0.6, 0.6], np.float32),
+                         (B, 1, 1)),
+        "labels": np.ones((B, 1), np.int32),
+        "box_mask": np.ones((B, 1), bool),
+        "batch_mask": np.ones(B, bool),
+    }
+    key = jax.random.PRNGKey(11)
+
+    state_ref = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_ref = step(state_ref, batch, key)
+    state_sh = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_sh = step_sh(state_sh, shard_batch_spatial(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_sh["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh["grads"]),
+                    jax.tree_util.tree_leaves(m_ref["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
