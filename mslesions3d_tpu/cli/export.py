@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("-sc", "--min_score", type=float, default=None)
     p.add_argument("-k", "--top_k", type=int, default=None)
     p.add_argument("--dtype", default=None, help="input dtype override (e.g. float32)")
+    p.add_argument("--use_ema", type=int, default=1,
+                   help="1 = serve the EMA average when the checkpoint has "
+                        "one (training with --ema_decay > 0); 0 = raw params "
+                        "(mirrors cli.predict)")
     p.add_argument("--platform", default=None,
                    help="jax platform to trace/export on (e.g. cpu)")
     return p
@@ -60,8 +64,11 @@ def main(argv=None):
     from ..train.checkpoints import load_checkpoint
 
     config, payload, _ = load_checkpoint(args.model_path)
-    # EMA-trained checkpoints serve the average (same rule as cli.predict)
-    params = payload.get("ema_params") or payload["params"]
+    # EMA-trained checkpoints serve the average by default (same rule as
+    # cli.predict); --use_ema 0 exports the raw params instead. Explicit
+    # None check: dict truthiness would misread an empty tree.
+    ema = payload.get("ema_params")
+    params = ema if (bool(args.use_ema) and ema is not None) else payload["params"]
     variables = {"params": params, "batch_stats": payload["batch_stats"]}
 
     if args.sliding_window:

@@ -100,7 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_accum", type=int, default=1,
                    help="> 1 accumulates gradients over that many "
                         "micro-batches per optimizer step (activation "
-                        "memory of one micro-batch; batch_size must divide)")
+                        "memory of one micro-batch; batch_size must divide). "
+                        "BatchNorm statistics and hard-negative mining are "
+                        "per-MICRO-batch: with --hard_negative_mining the "
+                        "3:1 negative ratio is mined within each micro-batch "
+                        "(tests/test_grad_accum.py pins this)")
     # TPU-native extensions
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--spatial_shards", type=int, default=1,

@@ -65,6 +65,7 @@ class ConvNetBackbone(nn.Module):
     config_name: str = "convnet_maxpool_double"
     dtype: Any = jnp.float32
     init_scheme: str = "torch"
+    dropout_rate: float = 0.1  # MONAI Convolution parity default
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,6 +78,7 @@ class ConvNetBackbone(nn.Module):
             else:
                 x = ConvNormActBlock(spec["features"], spec["strides"], dtype=self.dtype,
                                      init_scheme=self.init_scheme,
+                                     dropout_rate=self.dropout_rate,
                                      name=f"layer_{i}")(x, train=train)
             if i in wanted:
                 features[i] = x

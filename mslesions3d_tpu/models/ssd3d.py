@@ -51,6 +51,9 @@ class SSD3DConfig:
     alpha: float = 1.0
     lr: float = 1.3e-5
     base_network_config: str = "mobilenet"
+    # convnet-backbone dropout (reference hardcodes MONAI's 0.1,
+    # lesions3d/base_network.py:83-92); configurable extension
+    convnet_dropout: float = 0.1
     width_mult: float = 1.0
     min_score: float = 0.5
     max_overlap: float = 0.5
@@ -211,6 +214,7 @@ class SSD3D(nn.Module):
                 config_name=cfg.base_network_config,
                 dtype=cfg.compute_dtype,
                 init_scheme=cfg.init_scheme,
+                dropout_rate=cfg.convnet_dropout,
             )
         else:
             raise ValueError(

@@ -72,11 +72,25 @@ def load_checkpoint(directory, state_template=None):
             tmpl, stored[key], name=key
         )
         params = restore(state_template.params, "params")
-        if "ema_params" in stored:
+        if "ema_params" in stored and state_template.ema_params is None:
+            # EMA-trained checkpoint resumed with ema_decay=0: the step
+            # would never update the stale average, yet eval_view prefers
+            # it — validation/checkpoint-selection would score frozen
+            # weights while training moves the raw params. Drop it.
+            # (predict/export are unaffected: they build the template from
+            # the checkpoint's own config.)
+            import warnings
+
+            warnings.warn(
+                "checkpoint holds ema_params but the resumed run has "
+                "ema_decay=0 — dropping the stale EMA; raw params will be "
+                "trained and evaluated", stacklevel=2,
+            )
+            ema = None
+        elif "ema_params" in stored:
             ema = serialization.from_state_dict(
-                state_template.ema_params
-                if state_template.ema_params is not None else state_template.params,
-                stored["ema_params"], name="ema_params",
+                state_template.ema_params, stored["ema_params"],
+                name="ema_params",
             )
         else:
             # pre-EMA checkpoint resumed with ema_decay on: re-seed from the

@@ -332,6 +332,20 @@ class Trainer:
         def sw_val_detect(val_state, images):
             from ..sliding_window import make_sliding_window_detector
 
+            # pad a final PARTIAL stack up to an already-compiled stack size
+            # for this volume shape (as predict.py's throughput mode does)
+            # and drop the padded rows from the result: a second full
+            # sliding-window compile for one metric pass is multi-minute on
+            # the tunneled TPU
+            n = images.shape[0]
+            standing = [k[1] for k in sw_val_detectors if k[0] == images.shape[1:4]]
+            std = min((s for s in standing if s >= n), default=n)
+            if n < std:
+                images = jnp.concatenate(
+                    [images, jnp.broadcast_to(images[-1:],
+                                              (std - n, *images.shape[1:]))],
+                    axis=0,
+                )
             key = (images.shape[1:4], images.shape[0])
             if key not in sw_val_detectors:
                 sw_val_detectors[key] = make_sliding_window_detector(
@@ -339,7 +353,11 @@ class Trainer:
                 )
             variables = {"params": val_state.params,
                          "batch_stats": val_state.batch_stats}
-            return sw_val_detectors[key](variables, images)
+            det = sw_val_detectors[key](variables, images)
+            if n < std:
+                det = {k: v[:n] if getattr(v, "ndim", 0) >= 1 else v
+                       for k, v in det.items()}
+            return det
 
         sw_val_on = cfg.patch_training and cfg.patch_val_full_volume
 

@@ -128,13 +128,13 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     NamedSharding(constraint_mesh, P("data", "spatial")),
                 )
 
-        def loss_fn(params, stats, mb):
+        def loss_fn(params, stats, mb, dropout_key):
             with _model_sharding_ctx(constraint_mesh):
                 (locs, scores), mutated = model.apply(
                     {"params": params, "batch_stats": stats},
                     mb["image"], train=True,
                     mutable=["batch_stats"],
-                    rngs={"dropout": jax.random.fold_in(rng, 1)},
+                    rngs={"dropout": dropout_key},
                 )
             conf_loss, loc_loss = multibox_loss_from_config(
                 config, locs, scores, mb["boxes"], mb["labels"],
@@ -158,9 +158,10 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
             ),
         }
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        dropout_key = jax.random.fold_in(rng, 1)
         if grad_accum <= 1:
             (total, (conf_loss, loc_loss, new_stats, locs, scores)), grads = (
-                grad_fn(state.params, state.batch_stats, mb_full)
+                grad_fn(state.params, state.batch_stats, mb_full, dropout_key)
             )
         else:
             B = images.shape[0]
@@ -193,10 +194,15 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
                     for k, v in mb.items()
                 }
 
-            def accum_body(carry, mb):
+            def accum_body(carry, mb_i):
+                mb, i = mb_i
                 gsum, stats = carry
+                # per-micro-batch dropout key: identical keys would give all
+                # micro-batches the same per-position dropout mask, reducing
+                # dropout diversity across the effective batch
                 (t, (c, l, new_stats, locs, scores)), g = grad_fn(
-                    state.params, stats, pin_micro(mb)
+                    state.params, stats, pin_micro(mb),
+                    jax.random.fold_in(dropout_key, i),
                 )
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 # BN running stats chain micro-batch to micro-batch
@@ -204,7 +210,8 @@ def make_train_step(config: SSD3DConfig, model: SSD3D, priors_center,
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (gsum, new_stats), (ts, cs, ls, locs_s, scores_s) = jax.lax.scan(
-                accum_body, (zero, state.batch_stats), micro
+                accum_body, (zero, state.batch_stats),
+                (micro, jnp.arange(grad_accum)),
             )
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
             total, conf_loss, loc_loss = ts.mean(), cs.mean(), ls.mean()

@@ -136,17 +136,30 @@ def test_patch_train_step_runs_and_learns_geometry():
     assert int(state.step) == 3
 
 
-def test_trainer_patch_training_end_to_end(tmp_path):
+def test_trainer_patch_training_end_to_end(tmp_path, monkeypatch):
     """Trainer + CLI-config path: patch-train a tiny model on 24^3 volumes
     with 16^3 patches, checkpoints written, val metrics computed on the
-    deterministic crop."""
+    deterministic crop. 12 images -> 3 val volumes at batch 2, so the final
+    val stack is PARTIAL: it must be padded onto the standing compiled
+    sliding-window detector, not trigger a second multi-minute compile
+    (round-3 advisor)."""
+    import mslesions3d_tpu.sliding_window as sw_mod
     from mslesions3d_tpu.data.datasets import SyntheticDataModule
     from mslesions3d_tpu.data.generate import generate_dataset
     from mslesions3d_tpu.models import SSD3DConfig
     from mslesions3d_tpu.train.loop import Trainer, TrainerConfig
 
+    builds = []
+    real_make = sw_mod.make_sliding_window_detector
+
+    def counting_make(*a, **kw):
+        builds.append(kw.get("volume_batch", 1))
+        return real_make(*a, **kw)
+
+    monkeypatch.setattr(sw_mod, "make_sliding_window_detector", counting_make)
+
     root = generate_dataset(
-        tmp_path / "data", num_images=6, n_classes=1, image_size=(24, 24, 24),
+        tmp_path / "data", num_images=12, n_classes=1, image_size=(24, 24, 24),
         object_size=(5, 8), num_objects=(1, 2), seed=5, subdir="ds",
     )
     dm = SyntheticDataModule(data_dir=root, n_classes=1, batch_size=2,
@@ -171,6 +184,8 @@ def test_trainer_patch_training_end_to_end(tmp_path):
                      if "mAP/validation_full_IoU_0.1" in h]
     assert metric_epochs, "full-volume val mAP was never computed"
     assert np.isfinite(metric_epochs[-1]["mAP/validation_full_IoU_0.1"])
+    # ONE detector build despite the partial (3 % 2) final val stack
+    assert builds == [2], f"expected one batch-2 detector build, got {builds}"
 
 
 def test_trainer_patch_training_data_parallel(tmp_path):

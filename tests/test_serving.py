@@ -204,3 +204,50 @@ def test_serve_http_endpoint(tmp_path):
             urllib.request.urlopen(f"{base}/healthz").read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_export_use_ema_flag(tmp_path):
+    """--use_ema 0 exports the raw params of an EMA-trained checkpoint
+    (round-3 advisor: export previously forced the EMA with no opt-out,
+    via a fragile dict-truthiness read)."""
+    import dataclasses
+
+    from mslesions3d_tpu.cli import export as export_cli
+    from mslesions3d_tpu.train.checkpoints import save_checkpoint
+    from mslesions3d_tpu.train.state import create_train_state
+
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=(24, 24, 24),
+        width_mult=0.25, min_score=0.0, top_k=4, ema_decay=0.99,
+    )
+    model = SSD3D(config)
+    state = create_train_state(model, config, jax.random.PRNGKey(1))
+    # make the average distinguishable from the raw params
+    state = state.replace(ema_params=jax.tree_util.tree_map(
+        lambda p: p + 0.05, state.ema_params))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, state, config, {"avg_val_loss": 1.0}, extra={"epoch": 0})
+
+    images = np.zeros((1, 24, 24, 24, 1), np.float32)
+    outs = {}
+    for flag in ("0", "1"):
+        out = export_cli.main([
+            "-m", str(ckpt), "-o", str(tmp_path / f"m{flag}.mslx"), "-b", "1",
+            "--dtype", "float32", "--use_ema", flag,
+        ])
+        outs[flag] = ServingDetector(out).predict(images)
+    assert not np.allclose(outs["0"]["scores"], outs["1"]["scores"])
+
+    # raw-param bundle == live raw-param model
+    from mslesions3d_tpu.models import model_priors
+    from mslesions3d_tpu.ops.nms import detect_objects
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    locs, scores = model.apply(variables, jnp.asarray(images), train=False)
+    live = detect_objects(
+        locs, scores, jnp.asarray(model_priors(config)),
+        n_classes=config.n_classes, min_score=config.min_score,
+        max_overlap=config.max_overlap, top_k=config.top_k,
+    )
+    np.testing.assert_allclose(outs["0"]["scores"],
+                               np.asarray(live["scores"]), rtol=1e-5, atol=1e-6)

@@ -514,6 +514,21 @@ def test_ema_tracks_params_and_roundtrips(tmp_path):
     # and eval_view on an EMA-off state is the identity
     assert eval_view(state_off) is state_off
 
+    # the REVERSE direction (round-3 advisor, medium): an EMA-trained
+    # checkpoint resumed with ema_decay=0 must DROP the stale average —
+    # the step would never update it, yet eval_view prefers it, so
+    # validation/checkpoint selection would score frozen weights
+    import warnings
+
+    template_off = create_train_state(model, cfg_off, jax.random.PRNGKey(4))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _, dropped, _ = load_checkpoint(tmp_path / "ck",
+                                        state_template=template_off)
+    assert dropped.ema_params is None
+    assert any("ema" in str(w.message).lower() for w in caught)
+    assert eval_view(dropped) is dropped
+
 
 def test_trainer_spatial_shards_matches_single_device(tmp_path):
     """--spatial_shards: the Trainer's depth-sharded path (2-D mesh, XLA
