@@ -13,9 +13,11 @@ predict loop from a Python checkpoint, reference predict.py:235-281).
 
 HTTP mode (stdlib only): POST /predict with an .npy body of shape
 (V, D, H, W, C), (D, H, W, C) or (D, H, W) returns detections as JSON;
-GET /healthz returns the bundle manifest summary. Requests are serialized
-onto the device by a lock; the AOT artifacts are compiled at load, so
-first-request latency is the device dispatch only.
+GET /healthz returns the bundle manifest summary. Concurrent requests are
+COALESCED into shared device calls by a batching dispatcher
+(serving.RequestBatcher): while one call is in flight, arriving volumes
+queue and ride the next call as one concatenated batch. The AOT artifacts
+are compiled at load, so first-request latency is the device dispatch only.
 """
 
 from __future__ import annotations
@@ -59,14 +61,17 @@ def make_http_server(det, port: int):
     """ThreadingHTTPServer over a ServingDetector (stdlib only).
 
     POST /predict: .npy body -> JSON {count, detections per volume}.
-    GET /healthz: manifest summary. One device at a time via a lock (the
-    bundle's chunk router already batches a request internally).
+    GET /healthz: manifest summary. Concurrent POSTs are coalesced into
+    shared device calls by serving.RequestBatcher — the device sees fewer
+    dispatches than clients; per-handler results come back sliced to the
+    request's own rows.
     """
     import io
-    import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    lock = threading.Lock()
+    from ..serving import RequestBatcher
+
+    batcher = RequestBatcher(det.predict)
     expected = tuple(det.manifest["input"]["shape"][1:4])
 
     class Handler(BaseHTTPRequestHandler):
@@ -106,8 +111,7 @@ def make_http_server(det, port: int):
                     return self._send(400, {
                         "error": f"volume {arr.shape} does not match bundle "
                                  f"input (V, {expected}, C)"})
-                with lock:
-                    res = det.predict(arr.astype(np.float32))
+                res = batcher.submit(arr.astype(np.float32))
                 out = []
                 for i in range(arr.shape[0]):
                     k = int(res["count"][i])
@@ -121,7 +125,9 @@ def make_http_server(det, port: int):
             except Exception as e:  # malformed request must not kill serving
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server.batcher = batcher  # exposed for shutdown + observability
+    return server
 
 
 def main(argv=None):

@@ -251,3 +251,71 @@ def test_export_use_ema_flag(tmp_path):
     )
     np.testing.assert_allclose(outs["0"]["scores"],
                                np.asarray(live["scores"]), rtol=1e-5, atol=1e-6)
+
+
+def test_serve_http_concurrent_requests_coalesce(tmp_path):
+    """N parallel clients: every client gets its own correct detections,
+    and the device sees FEWER dispatches than clients (round-3 verdict #7 —
+    requests arriving while a call is in flight ride the next call as one
+    concatenated batch via serving.RequestBatcher)."""
+    import io
+    import json as jsonlib
+    import threading
+    import time
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mslesions3d_tpu.cli.serve import make_http_server
+
+    config, model, variables = _tiny_model()
+    exports, manifest = export_detector(
+        config, variables, batch_sizes=(2,), nms_impl="xla",
+        dtype="float32", min_score=0.0, top_k=5,
+    )
+    bundle = save_bundle(tmp_path / "m.mslx", exports, manifest)
+    det = ServingDetector(bundle)
+
+    real_predict = det.predict
+    calls = []
+
+    def slow_predict(images):
+        calls.append(images.shape[0])
+        time.sleep(0.25)  # hold the dispatcher so the others pile up
+        return real_predict(images)
+
+    det.predict = slow_predict
+    server = make_http_server(det, 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_port}"
+
+    rng = np.random.default_rng(3)
+    N = 8
+    vols = rng.normal(0, 1, (N, 24, 24, 24, 1)).astype(np.float32)
+    ref = real_predict(vols)
+
+    def post(i):
+        buf = io.BytesIO()
+        np.save(buf, vols[i:i + 1])
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(),
+                                     method="POST")
+        return i, jsonlib.loads(urllib.request.urlopen(req, timeout=60).read())
+
+    try:
+        with ThreadPoolExecutor(max_workers=N) as ex:
+            results = list(ex.map(post, range(N)))
+        for i, res in results:
+            (v,) = res["volumes"]
+            assert v["count"] == int(ref["count"][i])
+            np.testing.assert_allclose(
+                v["boxes_frac"], ref["boxes"][i][: v["count"]], rtol=1e-6)
+            np.testing.assert_allclose(
+                v["scores"], ref["scores"][i][: v["count"]], rtol=1e-6)
+        assert sum(calls) == N
+        assert len(calls) < N, (
+            f"{len(calls)} device calls for {N} concurrent clients — "
+            "requests are not being coalesced"
+        )
+        assert server.batcher.device_calls == len(calls)
+    finally:
+        server.shutdown()
+        server.batcher.close()
