@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: the ENTIRE deep tail of the MobileNet-3D tower fused
+into one VMEM-resident program.
+
+Motivation (round-3 verdict #3 / QUALITY.md roofline): at 96^3 the backbone
+is 26 sequential conv/BN stages, and every stage past layer_3 runs on
+feature maps of 12^3 x 128 and smaller — each XLA conv dispatch there costs
+more in launch latency + pipeline fill than in math, and each round-trips
+its activation through HBM. This kernel runs all remaining
+depthwise-separable blocks (dw 3^3 conv + folded BN + ReLU + pointwise
+matmul + folded BN + ReLU, strides 1 or 2) for a tile of samples entirely
+in VMEM: the input tile is read once, every intermediate stays on-chip, and
+only the requested feature maps are written back.
+
+Shapes (96^3 flagship): input (B, 6, 6, 6, 256) after layer_4 — or
+(B, 12, 12, 12, 128) after layer_3 — weights for layers …7 total ~1 MB
+bf16; per-sample activations peak at 442 KB. A 4-sample tile uses < 6 MB
+of VMEM.
+
+Replaces at inference: reference Block chain lesions3d/mobilenet.py:34-49
+(layers 4..7 of MOBILENET_CONFIGS["mobilenet"]); the XLA path remains the
+default and the numerics oracle (tests/test_kernels.py asserts parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dw_block(x, dw_w, dw_gamma, dw_beta, pw_w, pw_gamma, pw_beta, stride):
+    """One depthwise-separable block on a VMEM-resident (S,D,H,W,C) tile.
+
+    fp32 accumulation; folded-BN affines; zero ("SAME") padding exactly like
+    lax.conv_general_dilated(padding=((1,1),)*3).
+    """
+    s, d, h, w, c = x.shape
+    do, ho, wo = d // stride, h // stride, w // stride
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((s, do, ho, wo, c), jnp.float32)
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                tap = xp[
+                    :,
+                    kd: kd + stride * (do - 1) + 1: stride,
+                    kh: kh + stride * (ho - 1) + 1: stride,
+                    kw: kw + stride * (wo - 1) + 1: stride,
+                    :,
+                ]
+                acc = acc + tap * dw_w[kd, kh, kw].astype(jnp.float32)
+    y = jnp.maximum(acc * dw_gamma + dw_beta, 0.0)
+    # pointwise: contract channels on the MXU; fp32 accumulation
+    z = jax.lax.dot_general(
+        y.astype(pw_w.dtype), pw_w,
+        (((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(z * pw_gamma + pw_beta, 0.0)
+
+
+def _tail_kernel(plan, emit, n_in, x_ref, *refs):
+    n_layers = len(plan)
+    w_refs = refs[: 6 * n_layers]
+    out_refs = refs[6 * n_layers:]
+    x = x_ref[...]
+    oi = 0
+    for i, (stride, _cin, _cout) in enumerate(plan):
+        dw_w, dw_g, dw_b, pw_w, pw_g, pw_b = w_refs[6 * i: 6 * i + 6]
+        x = _dw_block(
+            x, dw_w[...], dw_g[...], dw_b[...], pw_w[...], pw_g[...],
+            pw_b[...], stride,
+        )
+        if i in emit:
+            out_refs[oi][...] = x.astype(out_refs[oi].dtype)
+            oi += 1
+
+
+def fused_tail(x, layers, emit, *, samples_per_program: int = 4,
+               interpret: bool = False):
+    """Run a chain of depthwise-separable blocks fused in one Pallas program.
+
+    Args:
+      x: (B, D, H, W, C) input feature map (bf16 or f32).
+      layers: sequence of dicts with keys
+        dw_w (3,3,3,C_in), dw_gamma/dw_beta (C_in,) folded-BN affine,
+        pw_w (C_in, C_out), pw_gamma/pw_beta (C_out,), stride (1 or 2).
+      emit: indices (into ``layers``) whose outputs are returned.
+      samples_per_program: batch-tile size per grid step (B must divide).
+
+    Returns: list of feature maps, one per ``emit`` index, in order.
+    """
+    b, d, h, w, c = x.shape
+    spp = min(samples_per_program, b)
+    while b % spp:
+        spp -= 1
+    emit = tuple(sorted(emit))
+    plan = []
+    shapes = []
+    cur = (d, h, w, c)
+    for layer in layers:
+        stride = int(layer["stride"])
+        cin = layer["dw_w"].shape[-1]
+        cout = layer["pw_w"].shape[-1]
+        assert cur[3] == cin, f"channel mismatch: {cur} vs dw {cin}"
+        cur = (cur[0] // stride, cur[1] // stride, cur[2] // stride, cout)
+        plan.append((stride, cin, cout))
+        shapes.append(cur)
+
+    operands = [x]
+    in_specs = [
+        pl.BlockSpec((spp, d, h, w, c), lambda i: (i, 0, 0, 0, 0)),
+    ]
+    for layer in layers:
+        cin = layer["dw_w"].shape[-1]
+        cout = layer["pw_w"].shape[-1]
+        # 1-D per-channel vectors go in as (1, C): lane vectors with a unit
+        # sublane dim (Mosaic-friendly broadcast; see kernels/nms.py notes)
+        operands += [
+            layer["dw_w"].astype(x.dtype),
+            jnp.asarray(layer["dw_gamma"], jnp.float32).reshape(1, cin),
+            jnp.asarray(layer["dw_beta"], jnp.float32).reshape(1, cin),
+            layer["pw_w"].astype(x.dtype),
+            jnp.asarray(layer["pw_gamma"], jnp.float32).reshape(1, cout),
+            jnp.asarray(layer["pw_beta"], jnp.float32).reshape(1, cout),
+        ]
+        in_specs += [
+            pl.BlockSpec((3, 3, 3, cin), lambda *_: (0, 0, 0, 0)),
+            pl.BlockSpec((1, cin), lambda *_: (0, 0)),
+            pl.BlockSpec((1, cin), lambda *_: (0, 0)),
+            pl.BlockSpec((cin, cout), lambda *_: (0, 0)),
+            pl.BlockSpec((1, cout), lambda *_: (0, 0)),
+            pl.BlockSpec((1, cout), lambda *_: (0, 0)),
+        ]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, *shapes[i][:3], shapes[i][3]), x.dtype)
+        for i in emit
+    ]
+    out_specs = [
+        pl.BlockSpec((spp, *shapes[i][:3], shapes[i][3]),
+                     lambda j: (j, 0, 0, 0, 0))
+        for i in emit
+    ]
+
+    kernel = partial(_tail_kernel, plan, emit, len(operands))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // spp,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    return list(outs) if isinstance(outs, (list, tuple)) else [outs]

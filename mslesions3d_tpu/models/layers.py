@@ -192,7 +192,7 @@ class DepthwiseSeparableBlock(nn.Module):
     init_scheme: str = "torch"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, collect_folded: bool = False):
         from ..kernels.depthwise import fused_depthwise_bn_relu
 
         in_features = x.shape[-1]
@@ -200,6 +200,23 @@ class DepthwiseSeparableBlock(nn.Module):
         dw_conv = ConvParams((3, 3, 3, 1, in_features),
                              init_scheme=self.init_scheme, name="dw_conv")
         dw_bn = BatchNorm3d(in_features, name="dw_bn")
+        pw_conv = ConvParams((1, 1, 1, in_features, self.features),
+                             init_scheme=self.init_scheme, name="pw_conv")
+        pw_bn = BatchNorm3d(self.features, name="pw_bn")
+
+        if collect_folded:
+            # folded inference params for the fused tail kernel
+            # (kernels/tail.py) — declares the SAME variables as the
+            # compute path, so checkpoints are interchangeable
+            dw_gamma, dw_beta = dw_bn.folded()
+            pw_gamma, pw_beta = pw_bn.folded()
+            return {
+                "dw_w": dw_conv.kernel.reshape(3, 3, 3, in_features),
+                "dw_gamma": dw_gamma, "dw_beta": dw_beta,
+                "pw_w": pw_conv.kernel.reshape(in_features, self.features),
+                "pw_gamma": pw_gamma, "pw_beta": pw_beta,
+                "stride": strides[0],
+            }
 
         pallas_eligible = (
             self.use_pallas
@@ -226,20 +243,18 @@ class DepthwiseSeparableBlock(nn.Module):
             )
             x = dw_bn(x, train=train)
             x = nn.relu(x).astype(self.dtype)
-        x = nn.Conv(
-            self.features,
-            kernel_size=(1, 1, 1),
-            strides=(1, 1, 1),
+        # pointwise conv as a bare-kernel lax.conv (identical variable
+        # path/shape/init to the former nn.Conv) + our BatchNorm3d
+        # (identical tree + numerics to nn.BatchNorm): both halves of the
+        # block now expose folded params for the fused tail kernel
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            pw_conv.kernel.astype(self.dtype),
+            window_strides=(1, 1, 1),
             padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=kernel_init_for(self.init_scheme),
-            name="pw_conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="pw_bn",
-        )(x)
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        x = pw_bn(x, train=train)
         return nn.relu(x).astype(self.dtype)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -82,6 +83,7 @@ class MobileNetBackbone(nn.Module):
     cube: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_pallas_tail: bool = False
     remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
     init_scheme: str = "torch"
 
@@ -96,8 +98,29 @@ class MobileNetBackbone(nn.Module):
             conv_cls = nn.remat(ConvBNReLU, static_argnums=(2,))
             block_cls = nn.remat(DepthwiseSeparableBlock, static_argnums=(2,))
         wanted = set(self.feature_layers)
+
+        # fused deep tail (inference only): every block past the FIRST
+        # wanted feature map runs as ONE VMEM-resident Pallas program
+        # (kernels/tail.py) — 12^3-and-smaller maps pay more in per-conv
+        # dispatch latency + HBM round-trips than in math. Falls back to
+        # the layer-by-layer path in training, for non-block tails, or for
+        # non-lane-aligned channel counts.
+        tail_from = min(self.feature_layers) + 1
+        tail_specs = plan[tail_from:]
+        fuse_tail = (
+            self.use_pallas_tail
+            and not train
+            and len(tail_specs) > 0
+            and all(s["kind"] == "dw_block" for s in tail_specs)
+            and all(s["features"] % 128 == 0 for s in tail_specs)
+            # the fused kernel assumes cubic strides (the dw blocks always
+            # are; only the stem may be (1,2,2))
+            and all(len(set(s["strides"])) == 1 if isinstance(s["strides"], tuple)
+                    else True for s in tail_specs)
+        )
+
         features = {}
-        for i, spec in enumerate(plan):
+        for i, spec in enumerate(plan[:tail_from] if fuse_tail else plan):
             if spec["kind"] == "conv_bn":
                 x = conv_cls(spec["features"], spec["strides"], dtype=self.dtype,
                              init_scheme=self.init_scheme,
@@ -109,6 +132,37 @@ class MobileNetBackbone(nn.Module):
                               name=f"layer_{i}")(x, train)
             if i in wanted:
                 features[i] = x
+
+        if fuse_tail:
+            from ..kernels.tail import fused_tail
+
+            if x.shape[-1] % 128 != 0:
+                raise ValueError(
+                    "use_pallas_tail needs lane-aligned tail input channels; "
+                    f"got {x.shape[-1]} (width_mult too small?)"
+                )
+            layers = []
+            in_f = x.shape[-1]
+            for j, spec in enumerate(tail_specs):
+                # plain DepthwiseSeparableBlock (never the remat wrapper):
+                # collect_folded declares the identical variables and does
+                # no compute, so there is nothing to rematerialize. The
+                # dummy carries only the chained in_features.
+                dummy = jnp.zeros((1, 1, 1, 1, in_f), self.dtype)
+                layers.append(DepthwiseSeparableBlock(
+                    spec["features"], spec["strides"], dtype=self.dtype,
+                    init_scheme=self.init_scheme,
+                    name=f"layer_{tail_from + j}",
+                )(dummy, train, collect_folded=True))
+                in_f = spec["features"]
+            emit = tuple(i - tail_from for i in sorted(wanted)
+                         if i >= tail_from)
+            outs = fused_tail(
+                x.astype(self.dtype), layers, emit,
+                interpret=jax.default_backend() != "tpu",
+            )
+            for i, out in zip([e + tail_from for e in emit], outs):
+                features[i] = out
         return features
 
 

@@ -72,6 +72,7 @@ class SSD3DConfig:
     focal_alpha: float = 0.25
     use_l2_rescale: bool = False
     use_pallas: bool = False  # fused Pallas depthwise kernel at inference
+    use_pallas_tail: bool = False  # fuse the WHOLE deep tail in one Pallas program
     remat: bool = False  # jax.checkpoint each backbone block (memory for FLOPs)
     dtype: str = "float32"  # "bfloat16" for TPU hot path
     # "torch" reproduces torch Conv3d/Linear default init (kaiming-uniform
@@ -205,6 +206,7 @@ class SSD3D(nn.Module):
                 cube=cfg.cube,
                 dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
+                use_pallas_tail=cfg.use_pallas_tail,
                 remat=cfg.remat,
                 init_scheme=cfg.init_scheme,
             )

@@ -23,6 +23,8 @@ def test_dryrun_multichip_subprocess():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # warm-cache replay for the suite only; the driver runs cache-free
+    env["MSL_DRYRUN_ALLOW_CACHE"] = "1"
     out = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(4)"],

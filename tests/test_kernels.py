@@ -132,3 +132,85 @@ def test_pallas_nms_tile_skip_prefix_validity():
         for i in range(n)
     ])
     np.testing.assert_array_equal(keep_pl, keep_xla)
+
+
+def test_fused_tail_matches_blockwise():
+    """kernels/tail.py: a 4-block dw-separable chain fused in one program
+    (strides 2,1,2,1 — the 96^3 flagship's layers 4..7) must match the
+    blockwise lax.conv path within bf16 rounding."""
+    from mslesions3d_tpu.kernels.tail import fused_tail
+
+    rng = np.random.default_rng(0)
+    B, D = 2, 12
+    x = jnp.asarray(rng.normal(0, 1, (B, D, D, D, 128)).astype(np.float32))
+    x = x.astype(jnp.bfloat16)
+
+    def mk(cin, cout, stride, seed):
+        r = np.random.default_rng(seed)
+        return dict(
+            dw_w=jnp.asarray(r.normal(0, 0.2, (3, 3, 3, cin)).astype(np.float32)),
+            dw_gamma=r.normal(1, 0.1, (cin,)).astype(np.float32),
+            dw_beta=r.normal(0, 0.1, (cin,)).astype(np.float32),
+            pw_w=jnp.asarray(r.normal(0, 0.1, (cin, cout)).astype(np.float32)),
+            pw_gamma=r.normal(1, 0.1, (cout,)).astype(np.float32),
+            pw_beta=r.normal(0, 0.1, (cout,)).astype(np.float32),
+            stride=stride,
+        )
+
+    layers = [mk(128, 256, 2, 1), mk(256, 256, 1, 2),
+              mk(256, 512, 2, 3), mk(512, 512, 1, 4)]
+
+    def blockwise(x):
+        outs = []
+        for L in layers:
+            cin = L["dw_w"].shape[-1]
+            y = jax.lax.conv_general_dilated(
+                x, L["dw_w"].reshape(3, 3, 3, 1, cin).astype(x.dtype),
+                (L["stride"],) * 3, ((1, 1), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=cin)
+            y = jnp.maximum(
+                y.astype(jnp.float32) * L["dw_gamma"] + L["dw_beta"], 0
+            ).astype(x.dtype)
+            z = jax.lax.dot_general(
+                y, L["pw_w"].astype(x.dtype), (((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x = jnp.maximum(z * L["pw_gamma"] + L["pw_beta"], 0).astype(x.dtype)
+            outs.append(x)
+        return outs
+
+    ref = blockwise(x)
+    got = fused_tail(x, layers, emit=(1, 3), interpret=True)
+    assert got[0].shape == (B, 6, 6, 6, 256)
+    assert got[1].shape == (B, 3, 3, 3, 512)
+    for g, r in zip(got, [ref[1], ref[3]]):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=0.05, atol=0.05)
+
+
+def test_model_pallas_tail_flag_equivalence():
+    """use_pallas_tail on/off produce the same locs/scores for the same
+    variables (the fused program replaces backbone layers past the first
+    feature map); the variable trees are identical, so the flag can be
+    flipped on any checkpoint."""
+    base = dict(n_classes=2, input_channels=1, input_size=(32, 32, 32),
+                width_mult=1.0)
+    cfg_off = SSD3DConfig.create(**base)
+    cfg_on = SSD3DConfig.create(**base, use_pallas_tail=True)
+
+    model_off = SSD3D(cfg_off)
+    model_on = SSD3D(cfg_on)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 32, 1)), jnp.float32)
+    variables = model_off.init(jax.random.PRNGKey(0), x, train=False)
+    variables_on = model_on.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(variables_on))
+
+    locs_off, scores_off = model_off.apply(variables, x, train=False)
+    locs_on, scores_on = model_on.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(locs_on), np.asarray(locs_off), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(scores_on), np.asarray(scores_off), rtol=2e-3, atol=2e-3)
