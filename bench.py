@@ -119,10 +119,10 @@ def _late_imports() -> None:
     from mslesions3d_tpu.ops.nms import detect_objects
 
 
-def build(batch: int):
+def build(batch: int, use_pallas_tail: bool = False):
     config = SSD3DConfig.create(
         n_classes=2, input_channels=1, input_size=VOLUME, dtype="bfloat16",
-        min_score=0.5, top_k=100,
+        min_score=0.5, top_k=100, use_pallas_tail=use_pallas_tail,
     )
     model = SSD3D(config)
     priors = jnp.asarray(model_priors(config))
@@ -142,9 +142,10 @@ def build(batch: int):
     return infer, variables, images
 
 
-def measure(batch: int, iters: int = 20) -> float:
-    infer, variables, images = build(batch)
-    print(f"# compiling inference batch {batch}...", flush=True)
+def measure(batch: int, iters: int = 20, use_pallas_tail: bool = False) -> float:
+    infer, variables, images = build(batch, use_pallas_tail=use_pallas_tail)
+    print(f"# compiling inference batch {batch}"
+          f"{' (fused tail)' if use_pallas_tail else ''}...", flush=True)
     np.asarray(infer(variables, images))  # compile + real sync
     for _ in range(3):
         out = infer(variables, images)
@@ -315,11 +316,15 @@ def main():
                           round(tvps, 3))
         return go
 
-    def sec_infer(batch):
+    def sec_infer(batch, use_pallas_tail: bool = False):
         def go():
-            vps = measure(batch)
-            print(f"# batch {batch}: {vps:.2f} volumes/sec", flush=True)
+            vps = measure(batch, use_pallas_tail=use_pallas_tail)
+            tag = " (fused tail)" if use_pallas_tail else ""
+            print(f"# batch {batch}{tag}: {vps:.2f} volumes/sec", flush=True)
             record_inference(batch, vps)
+            if use_pallas_tail:
+                record_detail(f"infer_b{batch}_fused_tail_volumes_per_sec",
+                              round(vps, 3))
         return go
 
     def sec_sw(volume_batch):
@@ -337,6 +342,10 @@ def main():
     run("train_b8", 30.0, sec_train(8))
     run("infer_b1", 30.0, sec_infer(1))
     run("infer_b128", 45.0, sec_infer(128))
+    # fused Pallas deep tail (kernels/tail.py): the roofline's named gap is
+    # small-layer latency past 12^3 — measure the fused program head-to-head
+    # at the headline geometry (record_inference keeps whichever wins)
+    run("infer_b128_tail", 45.0, sec_infer(128, use_pallas_tail=True))
     run("infer_b64", 45.0, sec_infer(64))
     run("train_b64", 40.0, sec_train(64))
     run("sw_b1", 60.0, sec_sw(1))

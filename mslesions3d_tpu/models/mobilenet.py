@@ -111,6 +111,9 @@ class MobileNetBackbone(nn.Module):
             self.use_pallas_tail
             and not train
             and len(tail_specs) > 0
+            # at least one wanted feature map must lie in the tail, else
+            # the tail is dead code (XLA DCEs it on the standard path)
+            and any(i >= tail_from for i in wanted)
             and all(s["kind"] == "dw_block" for s in tail_specs)
             and all(s["features"] % 128 == 0 for s in tail_specs)
             # the fused kernel assumes cubic strides (the dw blocks always
