@@ -19,6 +19,15 @@ of VMEM.
 Replaces at inference: reference Block chain lesions3d/mobilenet.py:34-49
 (layers 4..7 of MOBILENET_CONFIGS["mobilenet"]); the XLA path remains the
 default and the numerics oracle (tests/test_kernels.py asserts parity).
+
+Mosaic lowering constraints (discovered by AOT `jax.export(platforms=
+["tpu"])` probes — interpret mode does NOT catch these): strided slices on
+>2-D arrays lower to a gather Mosaic rejects ("Only 2D gather is
+supported"), so stride-2 blocks compute stride-1 taps (contiguous slices)
+and keep even positions via dim-split reshapes + index-0 slices (major
+axes) and a lane-fold reshape + lane slice (the (w, c) pair). Contiguous
+slices, jnp.pad, those reshapes, and 5-D x 2-D dot_general all lower
+cleanly. tests/test_kernels.py::test_fused_tail_lowers_for_tpu pins this.
 """
 
 from __future__ import annotations
@@ -31,28 +40,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _downsample2(x):
+    """Keep even indices of the three spatial axes — via reshapes + static
+    slices only. Mosaic rejects strided slices on >2-D arrays ("Only 2D
+    gather is supported"), but supports dim-split reshapes + index-0 slices
+    on major axes and a lane-fold reshape + lane slice on the (w, c) pair
+    (verified by AOT TPU lowering probes, see module docstring)."""
+    s, d, h, w, c = x.shape
+    x = x.reshape(s, d // 2, 2, h, w, c)[:, :, 0]
+    x = x.reshape(s, d // 2, h // 2, 2, w, c)[:, :, :, 0]
+    x = x.reshape(s, d // 2, h // 2, w // 2, 2 * c)[..., :c]
+    return x
+
+
 def _dw_block(x, dw_w, dw_gamma, dw_beta, pw_w, pw_gamma, pw_beta, stride):
     """One depthwise-separable block on a VMEM-resident (S,D,H,W,C) tile.
 
     fp32 accumulation; folded-BN affines; zero ("SAME") padding exactly like
     lax.conv_general_dilated(padding=((1,1),)*3).
+
+    The 27 depthwise taps are CONTIGUOUS stride-1 slices of the padded
+    input; a stride-2 block then keeps the even output positions (stride-2
+    SAME conv output i == stride-1 output at 2i). The 8x extra tap math at
+    these tail sizes (12^3 and under) is trivial next to the dispatch
+    latency the fusion removes, and it keeps every op Mosaic-lowerable.
     """
     s, d, h, w, c = x.shape
-    do, ho, wo = d // stride, h // stride, w // stride
-    xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((s, do, ho, wo, c), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((s, d, h, w, c), jnp.float32)
     for kd in range(3):
         for kh in range(3):
             for kw in range(3):
-                tap = xp[
-                    :,
-                    kd: kd + stride * (do - 1) + 1: stride,
-                    kh: kh + stride * (ho - 1) + 1: stride,
-                    kw: kw + stride * (wo - 1) + 1: stride,
-                    :,
-                ]
-                acc = acc + tap * dw_w[kd, kh, kw].astype(jnp.float32)
+                tap = xp[:, kd: kd + d, kh: kh + h, kw: kw + w, :]
+                acc = acc + tap.astype(jnp.float32) * dw_w[kd, kh, kw].astype(
+                    jnp.float32)
+    if stride == 2:
+        acc = _downsample2(acc)
     y = jnp.maximum(acc * dw_gamma + dw_beta, 0.0)
     # pointwise: contract channels on the MXU; fp32 accumulation
     z = jax.lax.dot_general(

@@ -134,6 +134,25 @@ def test_pallas_nms_tile_skip_prefix_validity():
     np.testing.assert_array_equal(keep_pl, keep_xla)
 
 
+def _mk_tail_layer(cin, cout, stride, seed):
+    r = np.random.default_rng(seed)
+    return dict(
+        dw_w=jnp.asarray(r.normal(0, 0.2, (3, 3, 3, cin)).astype(np.float32)),
+        dw_gamma=r.normal(1, 0.1, (cin,)).astype(np.float32),
+        dw_beta=r.normal(0, 0.1, (cin,)).astype(np.float32),
+        pw_w=jnp.asarray(r.normal(0, 0.1, (cin, cout)).astype(np.float32)),
+        pw_gamma=r.normal(1, 0.1, (cout,)).astype(np.float32),
+        pw_beta=r.normal(0, 0.1, (cout,)).astype(np.float32),
+        stride=stride,
+    )
+
+
+def _flagship_tail_layers():
+    """Strides 2,1,2,1 with the 96^3 flagship's layer 4..7 channel plan."""
+    return [_mk_tail_layer(128, 256, 2, 1), _mk_tail_layer(256, 256, 1, 2),
+            _mk_tail_layer(256, 512, 2, 3), _mk_tail_layer(512, 512, 1, 4)]
+
+
 def test_fused_tail_matches_blockwise():
     """kernels/tail.py: a 4-block dw-separable chain fused in one program
     (strides 2,1,2,1 — the 96^3 flagship's layers 4..7) must match the
@@ -145,20 +164,7 @@ def test_fused_tail_matches_blockwise():
     x = jnp.asarray(rng.normal(0, 1, (B, D, D, D, 128)).astype(np.float32))
     x = x.astype(jnp.bfloat16)
 
-    def mk(cin, cout, stride, seed):
-        r = np.random.default_rng(seed)
-        return dict(
-            dw_w=jnp.asarray(r.normal(0, 0.2, (3, 3, 3, cin)).astype(np.float32)),
-            dw_gamma=r.normal(1, 0.1, (cin,)).astype(np.float32),
-            dw_beta=r.normal(0, 0.1, (cin,)).astype(np.float32),
-            pw_w=jnp.asarray(r.normal(0, 0.1, (cin, cout)).astype(np.float32)),
-            pw_gamma=r.normal(1, 0.1, (cout,)).astype(np.float32),
-            pw_beta=r.normal(0, 0.1, (cout,)).astype(np.float32),
-            stride=stride,
-        )
-
-    layers = [mk(128, 256, 2, 1), mk(256, 256, 1, 2),
-              mk(256, 512, 2, 3), mk(512, 512, 1, 4)]
+    layers = _flagship_tail_layers()
 
     def blockwise(x):
         outs = []
@@ -187,6 +193,25 @@ def test_fused_tail_matches_blockwise():
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(r, np.float32),
             rtol=0.05, atol=0.05)
+
+
+def test_fused_tail_lowers_for_tpu():
+    """kernels/tail.py must pass the MOSAIC lowering pass, not just
+    interpret mode: AOT-export the compiled (interpret=False) kernel for
+    platform "tpu" from the CPU host. This is the probe that caught the
+    "Only 2D gather is supported" rejection of strided slices on >2-D
+    arrays (tail.py module docstring) — interpret-mode tests cannot."""
+    from jax import export as jax_export
+
+    from mslesions3d_tpu.kernels.tail import fused_tail
+
+    layers = _flagship_tail_layers()
+    x = jnp.zeros((2, 12, 12, 12, 128), jnp.bfloat16)
+    fn = jax.jit(lambda x: fused_tail(x, layers, emit=(1, 3)))
+    exp = jax_export.export(fn, platforms=["tpu"])(x)
+    assert len(exp.mlir_module_serialized) > 0
+    out_shapes = [tuple(a.shape) for a in exp.out_avals]
+    assert out_shapes == [(2, 6, 6, 6, 256), (2, 3, 3, 3, 512)]
 
 
 def test_model_pallas_tail_flag_equivalence():
