@@ -35,6 +35,7 @@ REPO = Path(__file__).resolve().parent.parent
 BEST_PATH = REPO / "BENCH_BEST.json"
 LOG_PATH = REPO / ".bench_retry.log"
 ALIVE_PATH = REPO / ".tpu_alive"
+LOCK_PATH = REPO / ".tpu_lock"  # held by tools/quality_when_up.py stages
 
 DEADLINE_SEC = float(os.environ.get("BENCH_RETRY_DEADLINE_SEC", str(11 * 3600)))
 PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT_SEC", "90"))
@@ -132,6 +133,13 @@ def main() -> None:
             time.sleep(DOWN_SLEEP)
             continue
         ALIVE_PATH.touch()
+        if LOCK_PATH.exists():
+            # a quality_when_up.py stage holds the single chip; don't fight
+            # it (axon serves one process at a time) — heartbeat and wait.
+            log(f"probe {attempt}: tunnel UP but chip locked "
+                f"({LOCK_PATH.read_text().strip()}); sleeping {DOWN_SLEEP:.0f}s")
+            time.sleep(DOWN_SLEEP)
+            continue
         log(f"probe {attempt}: tunnel UP — running bench.py")
         record = run_bench(attempt)
         if record is None:
