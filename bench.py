@@ -362,6 +362,10 @@ def main():
     # small-layer latency past 12^3 — measure the fused program head-to-head
     # at the headline geometry (record_inference keeps whichever wins)
     run("infer_b128_tail", 45.0, sec_infer(128, use_pallas_tail=True))
+    # b256 probes whether the headline still scales with batch (b128 sits at
+    # ~19% HBM BW / 4.6% MXU — more in-flight work may fill the chip better;
+    # ~1.9 GiB of first-layer activations, well inside 16 GiB HBM)
+    run("infer_b256", 45.0, sec_infer(256))
     run("infer_b64", 45.0, sec_infer(64))
     run("train_b64", 40.0, sec_train(64))
     run("sw_b1", 60.0, sec_sw(1))

@@ -257,12 +257,12 @@ def test_mobilenet_classifier():
     model = MobileNetClassifier(num_classes=3, width_mult=0.25)
     x = jnp.zeros((1, 32, 48, 48, 1))  # non-cube -> first stride (1,2,2)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     assert out.shape == (1, 3)
-    out_t, _ = model.apply(
-        variables, x, train=True, mutable=["batch_stats"],
-        rngs={"dropout": jax.random.PRNGKey(1)},
-    )
+    out_t, _ = jax.jit(
+        lambda v, x, k: model.apply(
+            v, x, train=True, mutable=["batch_stats"], rngs={"dropout": k})
+    )(variables, x, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out_t)).all()
 
 
@@ -287,10 +287,14 @@ def test_remat_equivalence():
     model, model_r = SSD3D(cfg), SSD3D(cfg_r)
 
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    # apply/grad jitted: eager mode re-dispatches op-by-op every run, while
+    # the jitted programs replay from the persistent compile cache. The INIT
+    # stays eager: cache-replayed init executables trigger a heap-corruption
+    # abort later in the suite (see train/state.py::create_train_state note).
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
-    out = model.apply(variables, x, train=False)
-    out_r = model_r.apply(variables, x, train=False)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    out_r = jax.jit(lambda v, x: model_r.apply(v, x, train=False))(variables, x)
     np.testing.assert_allclose(np.asarray(out_r[0]), np.asarray(out[0]), rtol=1e-5)
 
     def loss(params):
@@ -299,7 +303,7 @@ def test_remat_equivalence():
         )
         return jnp.sum(locs ** 2) + jnp.sum(scores ** 2)
 
-    grads = jax.grad(loss)(variables["params"])
+    grads = jax.jit(jax.grad(loss))(variables["params"])
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
 
 
@@ -370,7 +374,8 @@ def test_init_scheme_torch_matches_torch_defaults():
 
     cfg = SSD3DConfig.create(n_classes=2, input_channels=1,
                              input_size=(32, 32, 32), init_scheme="torch")
-    variables = SSD3D(cfg).init(
+    model = SSD3D(cfg)
+    variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 32, 32, 32, 1), np.float32),
         train=False)
     params = variables["params"]
