@@ -158,6 +158,37 @@ def measure(batch: int, iters: int = 20, use_pallas_tail: bool = False) -> float
     return batch * iters / dt
 
 
+def measure_int8(batch: int, iters: int = 20) -> float:
+    """int8 PTQ inference (quant.py): s8xs8->s32 convs + fused rescale.
+
+    Weight values don't affect throughput, so the quantized program is built
+    from the random init with self-calibration on the benchmark input.
+    Recorded as a detail (accuracy-tradeoff mode — never the headline)."""
+    from mslesions3d_tpu.quant import make_quantized_detection_fn
+
+    config = SSD3DConfig.create(
+        n_classes=2, input_channels=1, input_size=VOLUME, dtype="bfloat16",
+        min_score=0.5, top_k=100,
+    )
+    model = SSD3D(config)
+    images = jnp.zeros((batch, *VOLUME, 1), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    calib = np.random.default_rng(0).normal(0, 1, (2, *VOLUME, 1)).astype(np.float32)
+    detect = jax.jit(make_quantized_detection_fn(config, variables, calib))
+
+    print(f"# compiling int8 inference batch {batch}...", flush=True)
+    np.asarray(detect(images)["count"])  # compile + real sync
+    for _ in range(3):
+        out = detect(images)
+    np.asarray(out["count"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(images)
+    np.asarray(out["count"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def measure_sliding_window(iters: int = 20, volume_batch: int = 1) -> float:
     """Full-volume sliding-window detection (96^3 patches, on-device
     stitching) — BASELINE.json config #3. volume_batch > 1 = throughput
@@ -343,6 +374,13 @@ def main():
                               round(vps, 3))
         return go
 
+    def sec_int8(batch):
+        def go():
+            vps = measure_int8(batch)
+            print(f"# batch {batch} int8: {vps:.2f} volumes/sec", flush=True)
+            record_detail(f"infer_b{batch}_int8_volumes_per_sec", round(vps, 3))
+        return go
+
     def sec_sw(volume_batch):
         def go():
             sw = measure_sliding_window(volume_batch=volume_batch)
@@ -366,6 +404,10 @@ def main():
     # ~19% HBM BW / 4.6% MXU — more in-flight work may fill the chip better;
     # ~1.9 GiB of first-layer activations, well inside 16 GiB HBM)
     run("infer_b256", 45.0, sec_infer(256))
+    # int8 PTQ (quant.py): NOT headline-eligible (accuracy tradeoff —
+    # measured -0.01 mAP on the CI dataset, QUALITY.md); detail-recorded to
+    # answer whether s8xs8->s32 MXU + halved activation HBM traffic wins
+    run("infer_b128_int8", 45.0, sec_int8(128))
     run("infer_b64", 45.0, sec_infer(64))
     run("train_b64", 40.0, sec_train(64))
     run("sw_b1", 60.0, sec_sw(1))

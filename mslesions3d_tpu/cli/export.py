@@ -48,6 +48,15 @@ def build_parser():
                         "(mirrors cli.predict)")
     p.add_argument("--platform", default=None,
                    help="jax platform to trace/export on (e.g. cpu)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="post-training quantization: int8 = BN-fold + "
+                        "per-channel int8 weights + int32-accumulated convs "
+                        "(quant.py); needs --calib_npy")
+    p.add_argument("--calib_npy", default=None,
+                   help="calibration volumes for --quantize: a .npy stack "
+                        "(N, D, H, W, C) of representative PREPROCESSED "
+                        "inputs (e.g. np.save a few batches from your data "
+                        "pipeline)")
     return p
 
 
@@ -71,6 +80,24 @@ def main(argv=None):
     params = ema if (bool(args.use_ema) and ema is not None) else payload["params"]
     variables = {"params": params, "batch_stats": payload["batch_stats"]}
 
+    calib = None
+    if args.quantize:
+        if args.sliding_window:
+            raise SystemExit(
+                "--quantize with --sliding_window is not supported yet; "
+                "export the patch-sized quantized detector and drive it "
+                "with the host-side sliding window instead")
+        if not args.calib_npy:
+            raise SystemExit("--quantize needs --calib_npy (see --help)")
+        import numpy as np
+
+        calib = np.load(args.calib_npy)
+        d, h, w = config.input_size
+        if calib.ndim != 5 or calib.shape[1:] != (d, h, w, config.input_channels):
+            raise SystemExit(
+                f"--calib_npy must be (N, {d}, {h}, {w}, "
+                f"{config.input_channels}); got {calib.shape}")
+
     if args.sliding_window:
         exports, manifest = export_sliding_window_detector(
             config, variables, args.sliding_window, args.batch_sizes,
@@ -83,6 +110,7 @@ def main(argv=None):
             config, variables, args.batch_sizes,
             platforms=args.platforms, nms_impl=args.nms_impl,
             min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
+            quantize=args.quantize, calib_images=calib,
         )
     out = save_bundle(args.output, exports, manifest)
     size = Path(out).stat().st_size

@@ -65,11 +65,17 @@ def export_detector(
     min_score=None,
     top_k=None,
     dtype=None,
+    quantize=None,
+    calib_images=None,
 ):
     """Export the end-to-end detector for each batch size.
 
     variables: {"params": ..., "batch_stats": ...} trained inference
     variables — baked into the artifact as constants.
+    ``quantize="int8"`` exports the post-training-quantized model instead
+    (quant.py: BN-fold, per-channel int8 weights, int32-accumulated convs);
+    ``calib_images`` (N, D, H, W, C) must then supply representative volumes
+    for activation-scale calibration.
     Returns ({batch_size: serialized bytes}, manifest dict).
     """
     from jax import export as jax_export
@@ -77,9 +83,21 @@ def export_detector(
     min_score = config.min_score if min_score is None else min_score
     top_k = config.top_k if top_k is None else top_k
     in_dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(config.dtype)
-    detect = _detection_fn(
-        config, variables, min_score=min_score, top_k=top_k, nms_impl=nms_impl
-    )
+    if quantize is None:
+        detect = _detection_fn(
+            config, variables, min_score=min_score, top_k=top_k, nms_impl=nms_impl
+        )
+    elif quantize == "int8":
+        if calib_images is None:
+            raise ValueError("quantize='int8' requires calib_images")
+        from .quant import make_quantized_detection_fn
+
+        detect = make_quantized_detection_fn(
+            config, variables, calib_images,
+            min_score=min_score, top_k=top_k, nms_impl=nms_impl,
+        )
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     d, h, w = config.input_size
     exports = {}
@@ -101,6 +119,7 @@ def export_detector(
         "min_score": float(min_score),
         "top_k": int(top_k),
         "jax_version": jax.__version__,
+        "quantize": quantize,
         "outputs": ["boxes (B,top_k,6) corner-frac", "labels (B,top_k)",
                     "scores (B,top_k)", "count (B,)"],
     }
