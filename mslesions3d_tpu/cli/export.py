@@ -10,6 +10,9 @@ the trained weights baked in — see mslesions3d_tpu/serving.py.
     msl-export -m ... -o model.mslx --nms_impl pallas       # TPU-only, fused NMS
     msl-export -m ... -o full.mslx --sliding_window 192 224 192 -b 1 4
         # FULL-VOLUME bundle: the whole patch-tile/stitch program baked in
+    msl-export -m ... -o q.mslx --quantize int8 --calib_npy calib.npy
+        # int8 PTQ bundle (quant.py); composes with --sliding_window —
+        # calib.npy is a (N, D, H, W, C) stack of PATCH-sized inputs
 """
 
 from __future__ import annotations
@@ -82,16 +85,13 @@ def main(argv=None):
 
     calib = None
     if args.quantize:
-        if args.sliding_window:
-            raise SystemExit(
-                "--quantize with --sliding_window is not supported yet; "
-                "export the patch-sized quantized detector and drive it "
-                "with the host-side sliding window instead")
         if not args.calib_npy:
             raise SystemExit("--quantize needs --calib_npy (see --help)")
         import numpy as np
 
         calib = np.load(args.calib_npy)
+        # calibration volumes are PATCH-sized (config.input_size) in both
+        # modes — the sliding-window program runs the same patch detector
         d, h, w = config.input_size
         if calib.ndim != 5 or calib.shape[1:] != (d, h, w, config.input_channels):
             raise SystemExit(
@@ -104,6 +104,7 @@ def main(argv=None):
             overlap=args.overlap, per_patch_k=args.per_patch_k,
             platforms=args.platforms, nms_impl=args.nms_impl,
             min_score=args.min_score, top_k=args.top_k, dtype=args.dtype,
+            quantize=args.quantize, calib_images=calib,
         )
     else:
         exports, manifest = export_detector(

@@ -139,6 +139,8 @@ def export_sliding_window_detector(
     min_score=None,
     top_k=None,
     dtype=None,
+    quantize=None,
+    calib_images=None,
 ):
     """Export the FULL-VOLUME sliding-window detector as serving artifacts.
 
@@ -159,12 +161,26 @@ def export_sliding_window_detector(
     in_dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(config.dtype)
     volume_shape = tuple(int(v) for v in volume_shape)
 
+    patch_forward = None
+    if quantize == "int8":
+        # quantize ONCE (weights bake into every exported volume_batch
+        # variant); calib_images are PATCH-sized volumes (config.input_size)
+        if calib_images is None:
+            raise ValueError("quantize='int8' requires calib_images")
+        from .quant import quantize_ssd3d, quantized_forward
+
+        qm = quantize_ssd3d(config, variables, calib_images)
+        patch_forward = lambda _v, patches: quantized_forward(qm, patches)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+
     exports = {}
     for v in sorted(set(int(x) for x in volume_batches)):
         run = make_sliding_window_detector(
             config, volume_shape, overlap=overlap, min_score=min_score,
             top_k=top_k, per_patch_k=per_patch_k, volume_batch=v,
             stitch_impl="pallas" if nms_impl == "pallas" else "xla",
+            patch_forward=patch_forward,
         )
 
         def detect(volumes, _run=run):
@@ -193,6 +209,7 @@ def export_sliding_window_detector(
         "min_score": float(min_score),
         "top_k": int(top_k),
         "jax_version": jax.__version__,
+        "quantize": quantize,
         "outputs": ["boxes (V,top_k,6) corner-frac of the FULL volume",
                     "labels (V,top_k)", "scores (V,top_k)", "count (V,)"],
     }

@@ -61,6 +61,7 @@ def make_sliding_window_detector(
     volume_batch: int = 1,
     mesh=None,
     stitch_impl: str = "auto",
+    patch_forward=None,
 ):
     """Build fn(variables, volume (D,H,W,C)) -> stitched padded detections.
 
@@ -94,6 +95,12 @@ def make_sliding_window_detector(
     """
     model = SSD3D(config)
     priors = jnp.asarray(model_priors(config))
+    # patch_forward: optional (variables, patches) -> (locs, scores) override
+    # of the standard model forward — e.g. the int8-quantized program
+    # (quant.quantized_forward with baked weights) for quantized full-volume
+    # serving bundles.
+    if patch_forward is None:
+        patch_forward = lambda v, p: model.apply(v, p, train=False)
     patch = config.input_size
     offsets = patch_offsets(volume_shape, patch, overlap)
     n_patches = offsets.shape[0]
@@ -167,7 +174,7 @@ def make_sliding_window_detector(
             chunk_vidx = jax.lax.dynamic_slice_in_dim(vidx, idx * patch_batch, patch_batch)
             chunk_valid = jax.lax.dynamic_slice_in_dim(valid, idx * patch_batch, patch_batch)
             patches = shard_patches(jax.vmap(extract)(chunk_vidx, chunk_offs))
-            locs, scores = model.apply(variables, patches, train=False)
+            locs, scores = patch_forward(variables, patches)
             det = detect_objects(
                 locs, scores, priors,
                 n_classes=config.n_classes, min_score=min_score,

@@ -148,6 +148,40 @@ def test_quantized_export_roundtrip(tmp_path):
         export_detector(cfg, variables, batch_sizes=(1,), quantize="int8")
 
 
+def test_quantized_sliding_window_export_roundtrip(tmp_path):
+    """Quantized FULL-VOLUME bundle == live sliding window with the int8
+    patch forward (patch_forward hook threads quant through the stitcher)."""
+    from mslesions3d_tpu.quant import quantize_ssd3d, quantized_forward
+    from mslesions3d_tpu.serving import (
+        ServingDetector, export_sliding_window_detector, save_bundle,
+    )
+    from mslesions3d_tpu.sliding_window import make_sliding_window_detector
+
+    cfg, _, variables, x = _model_and_variables()
+    vol_shape = (40, 32, 40)
+    calib = np.asarray(x)
+    exports, manifest = export_sliding_window_detector(
+        cfg, variables, vol_shape, volume_batches=(1,),
+        nms_impl="xla", dtype="float32", quantize="int8", calib_images=calib,
+    )
+    assert manifest["quantize"] == "int8"
+    bundle = save_bundle(tmp_path / "q_full.mslx", exports, manifest)
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(0, 1, (1, *vol_shape, 1)).astype(np.float32)
+    served = ServingDetector(bundle).predict(vol)
+
+    qm = quantize_ssd3d(cfg, variables, calib)
+    live_fn = make_sliding_window_detector(
+        cfg, vol_shape, stitch_impl="xla",
+        patch_forward=lambda _v, p: quantized_forward(qm, p),
+    )
+    live = live_fn(variables, jnp.asarray(vol[0]))
+    np.testing.assert_array_equal(served["count"][0], np.asarray(live["count"])[0])
+    np.testing.assert_allclose(served["boxes"][0], np.asarray(live["boxes"])[0],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_quantize_ssd3d_weights_are_int8():
     cfg, _, variables, x = _model_and_variables()
     qm = quantize_ssd3d(cfg, variables, x)
