@@ -94,7 +94,28 @@ def test_fallback_to_best_replaces_zero_with_stored_record(tmp_path):
     assert d["measured_at"]
     assert "watchdog_fired" not in d  # the stored run's flag was scrubbed
 
-    # a run that DID measure must never be overwritten by the fallback
+    # a PARTIAL run (headline section never completed) must yield to a
+    # better stored record — the metric is peak throughput, and a b1-only
+    # run reporting 724 vol/s as "the" number is the round-4 driver bug
+    bench._RESULT["value"] = 724.0
+    bench._RESULT["detail"]["sections_done"] = ["imports", "train_b8", "infer_b1"]
+    assert bench._fallback_to_best("sections_no_measurement", str(best)) is True
+    assert bench._RESULT["value"] == 13000.0
+    assert bench._RESULT["detail"]["fallback_reason"] == "headline_section_missing"
+    assert bench._RESULT["detail"]["this_run_value"] == 724.0
+    assert bench._RESULT["detail"]["this_run_sections"] == [
+        "imports", "train_b8", "infer_b1"]
+
+    # a COMPLETE run (headline section done) always stands, even if slower
+    # than the stored best — regressions must stay visible
     bench._RESULT["value"] = 9000.0
+    bench._RESULT["detail"]["sections_done"] = ["imports", "infer_b128"]
+    bench._RESULT["detail"].pop("from_best_record")
     assert bench._fallback_to_best("sections_no_measurement", str(best)) is False
     assert bench._RESULT["value"] == 9000.0
+
+    # a partial run BETTER than the stored record also stands
+    bench._RESULT["value"] = 15000.0
+    bench._RESULT["detail"]["sections_done"] = ["imports", "infer_b1"]
+    assert bench._fallback_to_best("sections_no_measurement", str(best)) is False
+    assert bench._RESULT["value"] == 15000.0
