@@ -160,15 +160,16 @@ def create_train_state(model, config, rng, kaiming: bool | None = None) -> Train
     d, h, w = config.input_size
     dummy = jnp.zeros((1, d, h, w, config.input_channels), jnp.float32)
     init_rng, kaiming_rng, dropout_rng = jax.random.split(rng, 3)
-    # NOTE: deliberately EAGER (not jax.jit-wrapped). Wrapping this init in
-    # jit makes the data-parallel donated train step abort the whole process
-    # later (raw SIGABRT from the runtime, no XLA diagnostic, crash site
-    # wanders between pjit calls — classic heap corruption) on the
-    # forced-8-device CPU backend with the persistent compile cache enabled;
-    # jax 0.9.0. Reproduced deterministically via
-    # tests/test_patches.py::test_trainer_patch_training_data_parallel;
-    # neither jnp.copy nor a host round-trip of the jitted outputs makes it
-    # reliably safe. Eager init has been stable across all rounds.
+    # NOTE: deliberately EAGER (not jax.jit-wrapped). A jitted init is a
+    # large multi-output program whose PERSISTENT-CACHE-DESERIALIZED
+    # executable can corrupt the process heap on the forced-8-device CPU
+    # backend (BUGS.md bug D; jax 0.9.0) — round 5 isolated the trigger to
+    # executing cache-deserialized executables of susceptible programs, not
+    # donation and not init outputs specifically (utils/cache.py::
+    # quarantine_from_persistent_cache has the full story + measurements).
+    # Eager init sidesteps the class entirely and has been stable across all
+    # rounds; its per-initializer programs (jit__uniform etc.) deserialize
+    # safely (10 cache hits per process, thousands of clean runs).
     variables = model.init({"params": init_rng, "dropout": dropout_rng}, dummy, train=False)
     params = variables["params"]
     if kaiming is None:

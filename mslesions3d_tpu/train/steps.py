@@ -459,7 +459,13 @@ def make_sharded_gathered_train_step(config: SSD3DConfig, model: SSD3D,
         batch["batch_mask"] = jnp.ones(idx.shape, bool)
         return body(state, batch, rng)
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    # bug D (BUGS.md): this program family deserializes corruptly from the
+    # persistent cache on the forced-8-device CPU backend — always compile
+    # it fresh there (no-op on TPU)
+    from ..utils.cache import quarantine_from_persistent_cache
+
+    return quarantine_from_persistent_cache(
+        jax.jit(step, donate_argnums=(0,) if donate else ()))
 
 
 def make_gathered_eval_step(config: SSD3DConfig, model: SSD3D, priors_center,

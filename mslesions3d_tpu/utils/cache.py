@@ -12,9 +12,14 @@ makes a runtime change a cold compile instead of a crash.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
+import threading
+from contextlib import contextmanager
 from pathlib import Path
+
+_BYPASS_LOCK = threading.RLock()
 
 
 def _backend_cache_key() -> str:
@@ -63,3 +68,68 @@ def enable_compilation_cache(cache_dir: str | None = None):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
+
+
+@contextmanager
+def persistent_cache_bypass():
+    """Temporarily disable the persistent compile cache (read AND write).
+
+    Setting ``jax_compilation_cache_dir`` to None alone is NOT enough: the
+    cache object and its "is the cache used" verdict are memoized at first
+    use (``compilation_cache._cache`` / ``_cache_used``), so a dir change
+    after any cached compile is silently ignored (measured: a "bypassed"
+    program still logged a cache HIT). ``reset_cache()`` — jax's own
+    back-to-pristine hook — drops the memoized state so the None dir takes
+    effect, and a second reset on exit re-initializes from the restored dir
+    at the next consult. Toggling neither invalidates the in-memory pjit
+    executable caches (measured <0.1 ms replays after a toggle), so wrapping
+    every *call* of a quarantined program is cheap on cache-hit calls.
+    """
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    with _BYPASS_LOCK:
+        prev = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+            _cc.reset_cache()
+
+
+def quarantine_from_persistent_cache(fn, reason: str = "bug D"):
+    """Run ``fn`` with the persistent compile cache bypassed on CPU backends.
+
+    Workaround for BUGS.md bug D: on the forced-8-device XLA:CPU backend
+    (jax 0.9.0), SOME multi-device executables DESERIALIZED from the
+    persistent compilation cache corrupt the process heap when executed —
+    raw SIGABRT with no XLA diagnostic, crash site wandering between later
+    pjit calls and device_get. Reproduced deterministically (5/6 warm runs)
+    with the sharded-gathered patch-training step
+    (tests/test_patches.py::test_trainer_patch_training_data_parallel);
+    the same program compiled fresh in-process NEVER crashes, and donation
+    is NOT the trigger (disabling donate_argnums still crashed 5/7 warm
+    runs). Quarantined programs therefore always compile fresh on CPU; on
+    TPU (where the cache is essential across tunnel reconnects and no
+    corruption has ever been observed) the cache stays fully enabled.
+    """
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return fn
+    if os.environ.get("MSL_DISABLE_BUGD_QUARANTINE"):
+        # upstream-probe escape hatch (BUGS.md upgrade playbook): run the
+        # vulnerable deserialize path on purpose to check whether a jax
+        # upgrade fixed bug D (tools/bugd_repro.py runs this twice against
+        # one cache dir and expects the second process to SIGABRT)
+        return fn
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with persistent_cache_bypass():
+            return fn(*args, **kwargs)
+
+    wrapped.__quarantined__ = reason
+    return wrapped
