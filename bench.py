@@ -278,6 +278,21 @@ def measure_train(batch: int, iters: int = 50) -> float:
     return batch * iters / dt
 
 
+def _git_sha() -> str | None:
+    """HEAD of the repo this bench.py sits in (None outside git/any error)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        )
+        return r.stdout.strip() or None if r.returncode == 0 else None
+    except Exception:
+        return None
+
+
 def _save_best_record(best_path: str | None = None) -> None:
     """Persist this run's record to BENCH_BEST.json if it beats the stored
     best. bench.py itself maintains the outage-fallback record (not only
@@ -305,6 +320,10 @@ def _save_best_record(best_path: str | None = None) -> None:
                 "record": snapshot,
                 "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "harness": "bench.py",
+                # the SHA of the code that was MEASURED: a later fallback
+                # must not present an old commit's number as a measurement
+                # of the current tree without saying so (round-4 advisor)
+                "git_sha": _git_sha(),
             }
             tmp = best_path + ".tmp"
             with open(tmp, "w") as f:
@@ -337,17 +356,25 @@ def _fallback_to_best(reason: str, best_path: str | None = None) -> bool:
         with open(best_path) as f:
             payload = json.load(f)
         rec = payload["record"]
+        sha = _git_sha()
+        # ONE lock section for the whole read-decide-write: a check-then-act
+        # across two acquisitions let the watchdog overwrite a measurement
+        # that landed in its grace window (round-4 advisor)
         with _LOCK:
             this_value = _RESULT["value"]
-            headline_done = "infer_b128" in _RESULT["detail"]["sections_done"]
             this_sections = list(_RESULT["detail"]["sections_done"])
-        if this_value > 0.0 and headline_done:
-            return False  # a complete measurement always stands
-        if rec["value"] <= this_value:
-            return False  # stored best is no better; keep this run's number
-        if this_value > 0.0:
-            reason = "headline_section_missing"
-        with _LOCK:
+            # sections_done now only records SUCCESSFUL sections, but keep
+            # the error-key check as belt and braces against regressions
+            headline_done = (
+                "infer_b128" in this_sections
+                and "infer_b128_error" not in _RESULT["detail"]
+            )
+            if this_value > 0.0 and headline_done:
+                return False  # a complete measurement always stands
+            if rec["value"] <= this_value:
+                return False  # stored best is no better; keep this number
+            if this_value > 0.0:
+                reason = "headline_section_missing"
             _RESULT.update(
                 metric=rec["metric"], value=rec["value"],
                 unit=rec["unit"], vs_baseline=rec["vs_baseline"],
@@ -356,16 +383,64 @@ def _fallback_to_best(reason: str, best_path: str | None = None) -> bool:
             detail.pop("watchdog_fired", None)  # stale flag from the stored run
             _RESULT["detail"].update(detail)
             _RESULT["detail"]["from_best_record"] = True
+            # per-key provenance: exactly these detail keys describe the
+            # STORED run, not this one
+            _RESULT["detail"]["from_best_record_keys"] = sorted(detail)
             _RESULT["detail"]["fallback_reason"] = reason
             if this_value > 0.0:
                 _RESULT["detail"]["this_run_value"] = this_value
                 _RESULT["detail"]["this_run_sections"] = this_sections
             _RESULT["detail"]["measured_at"] = payload.get("measured_at")
             _RESULT["detail"]["best_record_harness"] = payload.get("harness")
+            rec_sha = payload.get("git_sha")
+            _RESULT["detail"]["best_record_git_sha"] = rec_sha
+            if rec_sha and sha and rec_sha != sha:
+                # the stored number measured a DIFFERENT commit's code —
+                # flag it so a perf regression can't hide behind a fallback
+                _RESULT["detail"]["best_record_sha_mismatch"] = True
         return True
     except Exception as e:  # malformed best record: keep the zero
         record_detail("best_record_error", type(e).__name__)
         return False
+
+
+def _merge_best_details(best_path: str | None = None) -> None:
+    """Fill budget-skipped sections' metrics from the stored best record.
+
+    A COMPLETE-headline run can still skip late sections (round 4: elapsed
+    455.8 s of a 450 s budget skipped both sliding-window sections, so the
+    driver record lacked the BASELINE config-#3 metric). Copy only MISSING
+    measurement keys (``*_volumes_per_sec``) from the stored record, and list
+    every copied key under ``from_best_record_keys`` — mixed-run details must
+    carry per-key provenance. Skipped silently when there is no stored best
+    or it measured nothing this code can use."""
+    if best_path is None:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        best_path = os.path.join(repo, "BENCH_BEST.json")
+    if not os.path.exists(best_path):
+        return
+    try:
+        with open(best_path) as f:
+            payload = json.load(f)
+        stored = payload.get("record", {}).get("detail", {})
+        sha = _git_sha()
+        rec_sha = payload.get("git_sha")
+        with _LOCK:
+            merged = []
+            for key, val in stored.items():
+                if key.endswith("_volumes_per_sec") and key not in _RESULT["detail"]:
+                    _RESULT["detail"][key] = val
+                    merged.append(key)
+            if merged:
+                keys = _RESULT["detail"].setdefault("from_best_record_keys", [])
+                keys.extend(k for k in sorted(merged) if k not in keys)
+                _RESULT["detail"]["best_record_measured_at"] = payload.get(
+                    "measured_at")
+                _RESULT["detail"]["best_record_git_sha"] = rec_sha
+                if rec_sha and sha and rec_sha != sha:
+                    _RESULT["detail"]["best_record_sha_mismatch"] = True
+    except Exception as e:  # bookkeeping must never kill the record
+        record_detail("best_record_merge_error", type(e).__name__)
 
 
 def _backend_alive(timeout_sec: float = 90.0) -> bool:
@@ -415,8 +490,9 @@ def main():
                         sum(1 for ln in lines if "tunnel UP" in ln))
             except Exception:
                 pass
-        if _fallback_to_best("tpu_unreachable"):
-            record_detail("tpu_unreachable", True)
+        # (dict.update in the fallback only adds/overwrites stored keys, so
+        # the tpu_unreachable flag set above survives — no re-set needed)
+        _fallback_to_best("tpu_unreachable")
         emit("backend_probe")
         return
     _late_imports()  # may still hang — watchdog already armed
@@ -435,6 +511,12 @@ def main():
         except Exception as e:
             print(f"# {name} failed: {type(e).__name__}: {e}", flush=True)
             record_detail(f"{name}_error", type(e).__name__)
+            # an ERRORED section must NOT count as done: an infer_b128 that
+            # threw after infer_b1 succeeded would otherwise pass the
+            # "headline done" fallback check and report batch-1 latency as
+            # the peak-throughput metric (round-4 advisor)
+            emit()
+            return
         emit(name)
         sections.append(name)
 
@@ -486,6 +568,12 @@ def main():
     # peak-throughput metric. Spend the fixed cost on the section that IS
     # the metric; everything after is refinement.
     run("infer_b128", 45.0, sec_infer(128))
+    # BASELINE configs outrank refinements in skip priority (round-4 driver
+    # record lost the sliding-window metric — BASELINE.json config #3 — to
+    # budget-skipping while pure refinement sections ran first):
+    # sliding window right after the headline, then the training geometry.
+    run("sw_b1", 60.0, sec_sw(1))
+    run("sw_b16", 60.0, sec_sw(16))
     run("infer_b1", 30.0, sec_infer(1))
     run("train_b8", 30.0, sec_train(8))
     run("train_b64", 40.0, sec_train(64))
@@ -502,10 +590,13 @@ def main():
     # answer whether s8xs8->s32 MXU + halved activation HBM traffic wins
     run("infer_b128_int8", 45.0, sec_int8(128))
     run("infer_b64", 45.0, sec_infer(64))
-    run("sw_b1", 60.0, sec_sw(1))
-    run("sw_b16", 60.0, sec_sw(16))
 
     _save_best_record()
+    # budget-skipped sections: carry their metrics over from the stored best
+    # record with per-key provenance, so the driver record is complete even
+    # on a partial run (round-4 verdict: the sw sections existed only in
+    # BENCH_BEST.json, never in BENCH_r04.json)
+    _merge_best_details()
     # all sections ran/skipped yet no measurement landed (every inference
     # section errored or was budget-skipped): prefer the stored best record
     # over a bare zero, with provenance

@@ -119,3 +119,91 @@ def test_fallback_to_best_replaces_zero_with_stored_record(tmp_path):
     bench._RESULT["detail"]["sections_done"] = ["imports", "infer_b1"]
     assert bench._fallback_to_best("sections_no_measurement", str(best)) is False
     assert bench._RESULT["value"] == 15000.0
+
+
+def test_errored_headline_does_not_count_as_done(tmp_path):
+    """round-4 advisor: an infer_b128 that RAISED must not satisfy the
+    'headline done' check — a partial run would otherwise report batch-1
+    latency as the peak-throughput metric through the exception path."""
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    bench._RESULT["value"] = 13000.0
+    bench._RESULT["detail"]["sections_done"] = ["imports", "infer_b128"]
+    bench._save_best_record(str(best))
+
+    # partial run: infer_b1 succeeded (724), infer_b128 errored. With
+    # success-only sections_done the name is absent; the error key is the
+    # belt-and-braces second signal.
+    bench._RESULT["value"] = 724.0
+    bench._RESULT["detail"] = {
+        "volume": [96, 96, 96], "best_batch": 1,
+        "sections_done": ["imports", "infer_b1"],
+        "infer_b128_error": "RuntimeError",
+    }
+    assert bench._fallback_to_best("sections_no_measurement", str(best)) is True
+    assert bench._RESULT["value"] == 13000.0
+    assert bench._RESULT["detail"]["this_run_value"] == 724.0
+
+
+def test_best_record_carries_git_sha_and_flags_mismatch(tmp_path):
+    """round-4 advisor: a fallback must say WHICH commit's code the stored
+    number measured, and flag when that differs from the current HEAD."""
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    bench._RESULT["value"] = 9000.0
+    bench._save_best_record(str(best))
+    payload = json.loads(best.read_text())
+    assert payload["git_sha"], "measuring SHA not recorded at save time"
+
+    # simulate the record having been measured on an older commit
+    payload["git_sha"] = "0" * 40
+    best.write_text(json.dumps(payload))
+
+    bench._RESULT["value"] = 0.0
+    bench._RESULT["detail"] = {"volume": [96, 96, 96], "best_batch": 0,
+                               "sections_done": []}
+    assert bench._fallback_to_best("watchdog_no_measurement", str(best)) is True
+    d = bench._RESULT["detail"]
+    assert d["best_record_git_sha"] == "0" * 40
+    assert d["best_record_sha_mismatch"] is True
+    assert d["from_best_record_keys"]  # per-key provenance present
+
+
+def test_merge_best_details_fills_skipped_sections(tmp_path):
+    """round-4 verdict #2: a run whose budget skipped the sliding-window
+    sections must still carry their metrics in the final record, each key
+    explicitly attributed to the stored best record."""
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    bench._RESULT["value"] = 13000.0
+    bench._RESULT["detail"] = {
+        "volume": [96, 96, 96], "best_batch": 128,
+        "sections_done": ["imports", "infer_b128", "sw_b1", "sw_b16"],
+        "sliding_window_192x224x192_volumes_per_sec": 145.0,
+        "sliding_window_192x224x192_x16_volumes_per_sec": 310.0,
+    }
+    bench._save_best_record(str(best))
+
+    # this run: headline done, sw sections budget-skipped
+    bench._RESULT["value"] = 13900.0
+    bench._RESULT["detail"] = {
+        "volume": [96, 96, 96], "best_batch": 128,
+        "sections_done": ["imports", "infer_b128"],
+        "train_64cube_batch8_volumes_per_sec": 1885.0,
+    }
+    bench._merge_best_details(str(best))
+    d = bench._RESULT["detail"]
+    assert d["sliding_window_192x224x192_volumes_per_sec"] == 145.0
+    assert d["sliding_window_192x224x192_x16_volumes_per_sec"] == 310.0
+    assert set(d["from_best_record_keys"]) == {
+        "sliding_window_192x224x192_volumes_per_sec",
+        "sliding_window_192x224x192_x16_volumes_per_sec",
+    }
+    # keys measured THIS run are never overwritten or re-attributed
+    assert d["train_64cube_batch8_volumes_per_sec"] == 1885.0
+    # a complete headline + merged details must NOT trigger a full fallback
+    assert bench._fallback_to_best("sections_no_measurement", str(best)) is False
+    assert bench._RESULT["value"] == 13900.0
