@@ -346,7 +346,7 @@ class RequestBatcher:
             try:
                 self.device_calls += 1
                 res = self._predict(stacked)
-            except Exception as e:  # pragma: no cover - deliver to callers
+            except Exception as e:  # deliver to every coalesced caller
                 for _, done, slot in batch:
                     slot["error"] = e
                     done.set()
