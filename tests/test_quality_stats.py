@@ -17,14 +17,16 @@ def _load():
     return mod
 
 
-def _write_grid(run_dir: Path, values: dict):
-    """values: {(iou, sc): (mAP, f1)}"""
+def _write_grid(run_dir: Path, values: dict, f1_as_dict: bool = False):
+    """values: {(iou, sc): (mAP, f1)}. cli.eval writes f1_score as a plain
+    float for single-class runs (the committed artifacts) and as a per-class
+    dict for multi-class ones — cover both shapes."""
     run_dir.mkdir(parents=True, exist_ok=True)
     for (iou, sc), (mAP, f1) in values.items():
         p = run_dir / f"metrics_(min_IoU={iou}_min_score={sc}).json"
         p.write_text(json.dumps({
-            "mAP": mAP, "f1_score": {"1": f1},
-            "precision": {"1": 0.5}, "recall": {"1": 0.5},
+            "mAP": mAP, "f1_score": {"1": f1} if f1_as_dict else f1,
+            "precision": 0.5, "recall": 0.5,
         }))
 
 
@@ -41,6 +43,16 @@ def test_reduce_run_takes_operating_point_maxima(tmp_path):
     assert r["best_f1@0.5"] == 0.40 and r["best_f1@0.5_at_score"] == 0.5
     assert r["mAP@0.1"] == 0.55
     assert r["best_f1@0.1"] == 0.52
+
+
+def test_reduce_run_accepts_per_class_f1_dicts(tmp_path):
+    qs = _load()
+    _write_grid(tmp_path, {
+        ("0.5", "0.1"): (0.30, 0.20),
+        ("0.5", "0.5"): (0.28, 0.40),
+    }, f1_as_dict=True)
+    r = qs.reduce_run(tmp_path)
+    assert r["best_f1@0.5"] == 0.40 and r["best_f1@0.5_at_score"] == 0.5
 
 
 def test_mean_sd_and_group(tmp_path):

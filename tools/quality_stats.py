@@ -24,6 +24,14 @@ ART = Path(__file__).resolve().parent.parent / "quality_artifacts"
 PAT = re.compile(r"metrics_\(min_IoU=(?P<iou>[\d.]+)_min_score=(?P<sc>[\d.]+)\)\.json")
 
 
+def _scalar(v) -> float:
+    """cli.eval writes a plain float for single-class runs and a per-class
+    dict for multi-class ones — reduce either to one number."""
+    if isinstance(v, dict):
+        return sum(v.values()) / max(len(v), 1)
+    return float(v)
+
+
 def reduce_run(run_dir: Path) -> dict | None:
     """One run dir of eval-grid JSONs -> {mAP@iou, best_f1@iou, argmax scores}."""
     grids: dict[str, dict[float, dict]] = {}
@@ -38,8 +46,7 @@ def reduce_run(run_dir: Path) -> dict | None:
         return None
     out = {}
     for iou, by_score in sorted(grids.items()):
-        f1 = {sc: (sum(d["f1_score"].values()) / max(len(d["f1_score"]), 1))
-              for sc, d in by_score.items()}
+        f1 = {sc: _scalar(d["f1_score"]) for sc, d in by_score.items()}
         mAP = {sc: d["mAP"] for sc, d in by_score.items()}
         best_f1_sc = max(f1, key=lambda s: f1[s])
         best_map_sc = max(mAP, key=lambda s: mAP[s])
