@@ -37,7 +37,7 @@ V5E_HBM_GBPS = 819.0
 TRAIN_VOLUME = (64, 64, 64)
 
 
-def build_parts(batch: int):
+def build_parts(batch: int, volume=TRAIN_VOLUME):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +49,7 @@ def build_parts(batch: int):
     from mslesions3d_tpu.train.steps import make_gathered_train_step
 
     config = SSD3DConfig.create(
-        n_classes=2, input_channels=1, input_size=TRAIN_VOLUME,
+        n_classes=2, input_channels=1, input_size=volume,
         dtype="bfloat16", lr=1e-3, threshold=[0.1, 0.2], batch_size=batch,
     )
     model = SSD3D(config)
@@ -58,7 +58,7 @@ def build_parts(batch: int):
     augment = AugmentConfig(flip_axes=(0, 1, 2), rot90_planes=((1, 2),))
 
     rng = np.random.default_rng(0)
-    d = TRAIN_VOLUME[0]
+    d = volume[0]
     batch_data = {
         "image": jnp.asarray(rng.normal(0, 1, (batch, d, d, d, 1)).astype(np.float32)),
         "boxes": jnp.tile(jnp.asarray([[0.2, 0.2, 0.2, 0.5, 0.5, 0.5],
@@ -144,6 +144,8 @@ def timed(fn, state, iters: int) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--volume", type=int, default=TRAIN_VOLUME[0],
+                    help="cubic training volume edge (64 = bench config)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "quality_artifacts"
@@ -159,7 +161,8 @@ def main():
     from roofline import analytic  # fwd-pass analytic model
 
     print(f"# device: {jax.devices()[0]}", flush=True)
-    parts = build_parts(args.batch)
+    volume = (args.volume,) * 3
+    parts = build_parts(args.batch, volume)
     state = parts["state"]
 
     ms = {}
@@ -179,15 +182,16 @@ def main():
         "optimizer_alone_crosscheck": ms["adam_only"],
     }
 
-    # analytic positions
-    fa = analytic(volume=TRAIN_VOLUME, bpl=2)
-    fwd_flops = 2.0 * fa["macs"] * args.batch  # per step
-    bwd_flops = 2.0 * fwd_flops                # dgrad + wgrad
+    # analytic positions (analytic returns (fwd FLOPs = 2*MACs, act bytes)
+    # per volume)
+    fwd_flops_per_vol, act_bytes_per_vol = analytic(volume=volume, bpl=2)
+    fwd_flops = fwd_flops_per_vol * args.batch  # per step
+    bwd_flops = 2.0 * fwd_flops                 # dgrad + wgrad
     n_params = parts["n_params"]
     # Adam fp32 traffic/step: read p,m,v,g + write p,m,v (7x4B) plus the
     # bias-group second pass bookkeeping -> ~8 floats/param
     adam_bytes = 8 * 4 * n_params
-    vol_bytes = 4 * args.batch * 64 ** 3  # one fp32 volume read (augment in)
+    vol_bytes = 4 * args.batch * args.volume ** 3  # one fp32 volume read (augment in)
     analysis = {
         "batch": args.batch,
         "n_params": n_params,
@@ -197,18 +201,21 @@ def main():
             100 * bwd_flops / (max(phases["backward"], 1e-9) / 1e3)
             / (V5E_BF16_TFLOPS * 1e12), 2),
         "fwd_act_gbps_pct_hbm": round(
-            100 * (fa["act_bytes"] * args.batch / (ms["loss_only"] / 1e3))
+            100 * (act_bytes_per_vol * args.batch / (ms["loss_only"] / 1e3))
             / (V5E_HBM_GBPS * 1e9), 2),
         "adam_pct_hbm_peak": round(
             100 * (adam_bytes / (max(ms["adam_only"], 1e-9) / 1e3))
             / (V5E_HBM_GBPS * 1e9), 2),
-        "augment_pct_hbm_peak": round(
-            100 * (3 * vol_bytes / (max(phases["augmentation"], 1e-9) / 1e3))
-            / (V5E_HBM_GBPS * 1e9), 2),
+        # a sub-0.05 ms (or negative) phase delta is timing noise on the
+        # tunneled runtime — a percentage of it would be meaningless
+        "augment_pct_hbm_peak": (
+            round(100 * (3 * vol_bytes / (phases["augmentation"] / 1e3))
+                  / (V5E_HBM_GBPS * 1e9), 2)
+            if phases["augmentation"] > 0.05 else None),
     }
 
     payload = {
-        "volume": list(TRAIN_VOLUME),
+        "volume": list(volume),
         "measured_ms": ms,
         "phases_ms": phases,
         "analysis": analysis,
