@@ -109,6 +109,25 @@ def build_parts(batch: int, volume=TRAIN_VOLUME):
     adam_jit = jax.jit(adam_only)
     grads_example = grad_only(state, batch_data, jax.random.PRNGKey(1))
 
+    # the dispatch-floor discriminator: 10 full steps inside ONE program
+    # (lax.scan). If scan10/10 << full, the per-call numbers above measure
+    # the host/tunnel dispatch floor, not device time — the regime the
+    # epoch-scan Trainer loop was built for.
+    body = make_train_step(config, model, priors, augment=augment,
+                           donate=False, jit=False)
+    SCAN_N = 10
+
+    def scan10(st, rng):
+        def one(carry, key):
+            new_st, metrics = body(carry, batch_data, key)
+            return new_st, metrics["total_loss"]
+
+        keys = jax.random.split(rng, SCAN_N)
+        final, losses = jax.lax.scan(one, st, keys)
+        return losses
+
+    scan10_jit = jax.jit(scan10)
+
     return {
         "config": config,
         "state": state,
@@ -119,6 +138,8 @@ def build_parts(batch: int, volume=TRAIN_VOLUME):
         "full": lambda st, k: step_full(st, batch_data, k)[1]["total_loss"],
         "gathered": lambda st, k: step_gathered(st, data_cache, idx, k)[1]["total_loss"],
         "adam_only": lambda st, k: adam_jit(st, grads_example).params,
+        "scan10": lambda st, k: scan10_jit(st, k),
+        "scan_n": SCAN_N,
         "n_params": sum(int(p.size) for p in
                         __import__("jax").tree_util.tree_leaves(state.params)),
     }
@@ -167,12 +188,14 @@ def main():
 
     ms = {}
     for name in ("loss_only", "grad_only", "no_augment", "full",
-                 "gathered", "adam_only"):
+                 "gathered", "adam_only", "scan10"):
         print(f"# compiling/timing {name}...", flush=True)
-        ms[name] = round(timed(parts[name], state, args.iters), 3)
+        iters = max(3, args.iters // 5) if name == "scan10" else args.iters
+        ms[name] = round(timed(parts[name], state, iters), 3)
         print(f"#   {name}: {ms[name]:.3f} ms", flush=True)
 
     # phase decomposition (ms per step)
+    scan_n = parts["scan_n"]
     phases = {
         "forward_and_loss": ms["loss_only"],
         "backward": round(ms["grad_only"] - ms["loss_only"], 3),
@@ -180,6 +203,10 @@ def main():
         "augmentation": round(ms["full"] - ms["no_augment"], 3),
         "device_gather": round(ms["gathered"] - ms["full"], 3),
         "optimizer_alone_crosscheck": ms["adam_only"],
+        # device time of one full step with dispatch amortized over scan_n
+        # in-program iterations; full - this = the per-call dispatch floor
+        "full_step_in_scan": round(ms["scan10"] / scan_n, 3),
+        "dispatch_floor": round(ms["full"] - ms["scan10"] / scan_n, 3),
     }
 
     # analytic positions (analytic returns (fwd FLOPs = 2*MACs, act bytes)
@@ -212,6 +239,11 @@ def main():
             round(100 * (3 * vol_bytes / (phases["augmentation"] / 1e3))
                   / (V5E_HBM_GBPS * 1e9), 2)
             if phases["augmentation"] > 0.05 else None),
+        "step_pct_dispatch_floor": round(
+            100 * phases["dispatch_floor"] / max(ms["full"], 1e-9), 1),
+        "train_vps_per_call": round(1000 * args.batch / ms["full"], 1),
+        "train_vps_in_scan": round(
+            1000 * args.batch / max(phases["full_step_in_scan"], 1e-9), 1),
     }
 
     payload = {
