@@ -22,7 +22,22 @@ reference's per-face slicing loops (utils.py:516-617) — renders box edges
 from __future__ import annotations
 
 import numpy as np
-from scipy import ndimage
+
+
+class _LazyNdimage:
+    """Defers the ~0.4 s scipy.ndimage import until a host transform runs.
+
+    Package import sits on the startup path of every CLI / test subprocess;
+    device-only workloads never touch ndimage at all.
+    """
+
+    def __getattr__(self, name):
+        from scipy import ndimage
+
+        return getattr(ndimage, name)
+
+
+ndimage = _LazyNdimage()
 
 
 def _boxes_from_labelled(seg: np.ndarray, thresholds) -> tuple[list, list]:

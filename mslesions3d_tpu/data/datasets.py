@@ -24,7 +24,10 @@ import warnings
 from pathlib import Path
 
 import numpy as np
-from sklearn.model_selection import KFold, train_test_split
+# sklearn.model_selection costs ~2.2 s to import on this 1-core host; it is
+# only needed when a datamodule actually builds splits, so defer it to the
+# two call sites (suite startup and every CLI/repro subprocess pay the
+# package-import path).
 
 from .boxes_from_seg import boxes_from_segmentation
 from .nifti import load_nifti
@@ -78,6 +81,8 @@ class _BaseDataModule:
             pick = self.subjects_list[rng.integers(0, len(self.subjects_list))]
             print("Picked subject", pick)
             return [pick], [pick]
+        from sklearn.model_selection import train_test_split
+
         return train_test_split(
             self.subjects_list, train_size=0.8, test_size=0.2,
             random_state=self.random_state,
@@ -392,6 +397,8 @@ class LesionsDataModule(_BaseDataModule):
     def setup(self, stage=None):
         super().setup(stage)
         if self.fold is not None and stage != "all":
+            from sklearn.model_selection import KFold
+
             kf = KFold(n_splits=4, shuffle=True, random_state=self.random_state)
             splits = list(kf.split(self.trainsubs))
             train_idx, val_idx = splits[self.fold]

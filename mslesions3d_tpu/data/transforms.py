@@ -15,9 +15,11 @@ from __future__ import annotations
 from pathlib import Path
 
 import numpy as np
-from scipy import ndimage
 
-from .boxes_from_seg import boxes_from_segmentation
+from .boxes_from_seg import _LazyNdimage, boxes_from_segmentation
+
+# scipy.ndimage costs ~0.4 s at import on this host; only zoom() needs it.
+ndimage = _LazyNdimage()
 
 # ---------------------------------------------------------------------------
 # orientation
