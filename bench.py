@@ -308,14 +308,29 @@ def _save_best_record(best_path: str | None = None) -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         best_path = os.path.join(repo, "BENCH_BEST.json")
     try:
-        prev = 0.0
+        prev, prev_sha = 0.0, None
         if os.path.exists(best_path):
             try:
                 with open(best_path) as f:
-                    prev = float(json.load(f)["record"]["value"])
+                    prev_payload = json.load(f)
+                prev = float(prev_payload["record"]["value"])
+                prev_sha = prev_payload.get("git_sha")
             except Exception:
                 prev = 0.0  # corrupt prior best: overwrite, don't wedge
-        if value > prev:
+        sha = _git_sha()
+        # A COMPLETE run of every BASELINE-config section at the CURRENT
+        # commit may refresh a record measured by older (or unknown) code
+        # even at a slightly lower value — fallback provenance freshness
+        # beats ≤7% run-to-run noise; partial runs still never overwrite.
+        baseline_sections = {"infer_b128", "sw_b1", "sw_b16", "infer_b1",
+                             "train_b8", "train_b64"}
+        complete = baseline_sections <= set(
+            snapshot["detail"].get("sections_done", []))
+        sha_refresh = (
+            complete and sha is not None and prev_sha != sha
+            and value >= 0.93 * prev
+        )
+        if value > prev or sha_refresh:
             payload = {
                 "record": snapshot,
                 "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -323,13 +338,21 @@ def _save_best_record(best_path: str | None = None) -> None:
                 # the SHA of the code that was MEASURED: a later fallback
                 # must not present an old commit's number as a measurement
                 # of the current tree without saying so (round-4 advisor)
-                "git_sha": _git_sha(),
+                "git_sha": sha,
             }
+            if sha_refresh and value <= prev:
+                payload["superseded_prev"] = {
+                    "value": prev, "git_sha": prev_sha,
+                    "reason": "complete run at current HEAD refreshes "
+                              "stale-sha record",
+                }
             tmp = best_path + ".tmp"
             with open(tmp, "w") as f:
                 f.write(json.dumps(payload, indent=2) + "\n")
             os.replace(tmp, best_path)
-            print(f"# BENCH_BEST.json updated: {value} > {prev}", flush=True)
+            print(f"# BENCH_BEST.json updated: {value} vs prev {prev}"
+                  f"{' (sha refresh)' if sha_refresh and value <= prev else ''}",
+                  flush=True)
     except Exception as e:  # never let bookkeeping kill the record
         print(f"# BENCH_BEST save failed: {type(e).__name__}: {e}", flush=True)
 

@@ -55,6 +55,57 @@ def test_save_best_writes_and_only_improves(tmp_path):
     assert json.loads(best.read_text())["record"]["value"] == 2000.0
 
 
+_ALL_BASELINE_SECTIONS = [
+    "imports", "infer_b128", "sw_b1", "sw_b16", "infer_b1",
+    "train_b8", "train_b64",
+]
+
+
+def test_save_best_sha_refresh_rules(tmp_path):
+    """A COMPLETE run at the current HEAD may refresh a record whose
+    measuring sha is unknown/stale even at a slightly lower value (fallback
+    provenance freshness beats ≤7% noise) — but partial runs, same-sha
+    runs, and >7% regressions never do."""
+    bench = _load_bench()
+    best = tmp_path / "BENCH_BEST.json"
+
+    def store(value, sha):
+        best.write_text(json.dumps({
+            "record": {"value": value, "metric": "m", "unit": "u",
+                       "vs_baseline": 1.0,
+                       "detail": {"sections_done": _ALL_BASELINE_SECTIONS}},
+            "git_sha": sha,
+        }))
+
+    # complete current-HEAD run vs null-sha record, within 7%: refreshes
+    store(14000.0, None)
+    bench._RESULT.update(value=13500.0, metric="m", unit="u", vs_baseline=1.0)
+    bench._RESULT["detail"]["sections_done"] = list(_ALL_BASELINE_SECTIONS)
+    bench._save_best_record(str(best))
+    payload = json.loads(best.read_text())
+    assert payload["record"]["value"] == 13500.0
+    assert payload["git_sha"], "refresh must stamp the measuring sha"
+    assert payload["superseded_prev"]["value"] == 14000.0
+
+    # same sha, lower value: keeps the stored record
+    bench._RESULT["value"] = 13000.0
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 13500.0
+
+    # PARTIAL run vs stale sha: never refreshes (headline-only sections)
+    store(14000.0, "deadbeef")
+    bench._RESULT["value"] = 13900.0
+    bench._RESULT["detail"]["sections_done"] = ["imports", "infer_b128"]
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 14000.0
+
+    # complete run but >7% below the stored value: never refreshes
+    bench._RESULT["value"] = 12000.0
+    bench._RESULT["detail"]["sections_done"] = list(_ALL_BASELINE_SECTIONS)
+    bench._save_best_record(str(best))
+    assert json.loads(best.read_text())["record"]["value"] == 14000.0
+
+
 def test_save_best_survives_corrupt_file(tmp_path):
     bench = _load_bench()
     best = tmp_path / "BENCH_BEST.json"

@@ -110,11 +110,21 @@ def load_best() -> float:
 
 
 def save_best(record: dict, attempt: int) -> None:
+    try:
+        sys.path.insert(0, str(REPO))
+        from bench import _git_sha
+
+        sha = _git_sha()
+    except Exception:
+        sha = None
     payload = {
         "record": record,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "attempt": attempt,
         "harness": "tools/bench_when_up.py",
+        # the SHA of the MEASURED code — bench.py's fallback flags a
+        # mismatch against the current tree (round-4 advisor finding #2)
+        "git_sha": sha,
     }
     tmp = BEST_PATH.with_suffix(".tmp")
     tmp.write_text(json.dumps(payload, indent=2) + "\n")
